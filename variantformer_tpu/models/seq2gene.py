@@ -1,0 +1,287 @@
+"""Hierarchical CRE<->gene model ("seq2gene", combined-modulator semantics).
+
+Functional JAX re-design of the reference Seq2GenePredictorCombinedModulator
+(/root/reference/seq2gene/model_combined_modulator.py:36-720). The computation
+contract (interleaving, residual wiring, pooling) is preserved exactly:
+
+  gene_0   = gene_layer[0](gene_in,  kv=cre_in)
+  cre_i    = cre_layer[i](cre_{i-1}, ctx=class_embedding)          i = 1..24
+  gene_i   = gene_layer[i](gene_{i-1}, kv=cre_i)                   i = 1..24
+  pooled   = gene_24[:, 0]   (multi-registry token)
+  pred     = tissue_head[tissue](pooled)
+
+TPU-native re-structuring (same math, different schedule):
+  * The CRE stream never depends on tissue, so CRE layers run once per donor
+    at [D, C, E]; only the gene stream fans out to [D, T, G+1, E]. The
+    reference replicates everything T times. Keeping the 25 per-donor CRE
+    intermediates costs ~40 MB/donor — trivial at donor granularity (the
+    memory problem the reference's combined modulator works around only
+    exists because of its T-fold replication).
+  * Gene layers share their cross-attention K/V projections across the tissue
+    axis: K/V are projected per donor and broadcast inside the einsum.
+  * Both layer stacks run under lax.scan over stacked parameters.
+  * The 63 tissue-expression MLP heads are stacked weights + gather + batched
+    einsum over the [D, T] grid (replacing the reference's per-sample Python
+    loop, /root/reference/seq2gene/modules/layers.py:1124-1144).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from variantformer_tpu.config import ModelConfig
+from variantformer_tpu.models import core
+from variantformer_tpu.models.core import AttnSpec, Params
+from variantformer_tpu.models.seq2reg import encode_windows
+from variantformer_tpu.ops import attention as attn_xla
+from variantformer_tpu.ops.alibi import alibi_slopes
+
+
+class Seq2GeneBatch(NamedTuple):
+    """Static-shape device batch. All padding is suffix padding.
+
+    D = donors (or ref/het/hom samples for VEP), C = CRE-window slots,
+    G = gene-window slots, L = tokens per window, T = requested tissues.
+    """
+
+    cre_tokens: jax.Array       # [D, C, L] int32
+    cre_tok_len: jax.Array      # [D, C] int32 valid tokens per window
+    cre_count: jax.Array        # [D] int32 valid CRE windows
+    cre_labels: jax.Array       # [D, C] int32 cCRE-class ids
+    gene_tokens: jax.Array      # [D, G, L] int32
+    gene_tok_len: jax.Array     # [D, G] int32
+    gene_count: jax.Array       # [D] int32 valid gene windows
+    tissue_ids: jax.Array       # [T] int32, shared across donors
+    cre_token_position: jax.Array | None = None   # [D] int32 (VEP)
+    gene_token_position: jax.Array | None = None  # [D] int32 (VEP)
+
+
+class Seq2GeneOutput(NamedTuple):
+    pred_expression: jax.Array   # [D, T] f32
+    pooled_embedding: jax.Array  # [D, T, E] f32
+    gene_token_embedding: jax.Array  # [D, T, E] f32 (zeros unless VEP positions)
+    cre_token_embedding: jax.Array   # [D, T, E] f32
+
+
+def _gene_cross_attention(
+    p: Params,
+    x: jax.Array,        # [D, T, Sq, E] gene queries
+    ctx: jax.Array,      # [D, Sk, E] donor-shared CRE keys/values
+    ctx_len: jax.Array,  # [D]
+    spec: AttnSpec,
+    compute_dtype,
+) -> jax.Array:
+    """Cross-attention with K/V projected once per donor, shared over T."""
+    d, t, sq, e = x.shape
+    q = core.linear(p["wq"], x, compute_dtype)
+    q = q.reshape(d, t, sq, spec.num_heads, spec.head_dim)
+    kv = core.linear(p["wkv"], ctx, compute_dtype)
+    kv = kv.reshape(d, ctx.shape[1], 2, spec.num_heads, spec.head_dim)
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    scores = jnp.einsum(
+        "dtqhe,dkhe->dthqk", q, k, preferred_element_type=jnp.float32
+    ) * spec.scale
+    key_valid = jnp.arange(ctx.shape[1])[None, :] < ctx_len[:, None]  # [D, Sk]
+    scores = jnp.where(
+        key_valid[:, None, None, None, :], scores, attn_xla.MASK_VALUE
+    )
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "dthqk,dkhe->dtqhe", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+    out = out.reshape(d, t, sq, e)
+    return core.linear(p["out"], out, compute_dtype)
+
+
+def _gene_layer(
+    p: Params,
+    gene: jax.Array,     # [D, T, G1, E]
+    cre: jax.Array,      # [D, C, E]
+    gene_len: jax.Array, # [D]
+    cre_len: jax.Array,  # [D]
+    slopes: jax.Array | None,
+    only_cross: bool,
+    spec: AttnSpec,
+    compute_dtype,
+) -> jax.Array:
+    d, t, g1, e = gene.shape
+    res_long = gene
+    if only_cross:
+        h = gene
+    else:
+        flat = core.layer_norm(p["norm1"], gene).reshape(d * t, g1, e)
+        sa = core.self_attention_block(
+            p["mixer"], flat,
+            jnp.repeat(gene_len, t), slopes, spec, compute_dtype,
+        ).reshape(d, t, g1, e)
+        h = sa + gene
+    pre_cross_norm = "norm2" if not only_cross else "norm1"
+    h2 = _gene_cross_attention(
+        p["cross"], core.layer_norm(p[pre_cross_norm], h), cre, cre_len,
+        spec, compute_dtype,
+    )
+    h2 = h2 + h
+    post_norm = "norm3" if not only_cross else "norm2"
+    out = core.geglu_ffn(p, core.layer_norm(p[post_norm], h2), compute_dtype)
+    return out + res_long
+
+
+def seq2gene_forward(
+    params: Params,
+    batch: Seq2GeneBatch,
+    cfg: ModelConfig,
+    impl: str = "xla",
+) -> Seq2GeneOutput:
+    """End-to-end jittable forward: tokens -> per-(donor, tissue) expression."""
+    mcfg = cfg.seq2gene
+    wcfg = cfg.window_encoder
+    compute_dtype = jnp.dtype(cfg.precision.compute_dtype)
+
+    d, c, l = batch.cre_tokens.shape
+    g = batch.gene_tokens.shape[1]
+    t = batch.tissue_ids.shape[0]
+    e = mcfg.emb_dim
+
+    enc_spec = AttnSpec(
+        num_heads=wcfg.num_heads,
+        head_dim=wcfg.embedding_dim // wcfg.num_heads,
+        impl=impl,
+    )
+    mod_spec = AttnSpec(
+        num_heads=mcfg.num_heads,
+        head_dim=mcfg.emb_dim // mcfg.num_heads,
+        impl=impl,
+    )
+
+    # === 1. Window encoding (frozen tokenizers), per donor ===
+    cre_emb = encode_windows(
+        params["cre_tokenizer"],
+        batch.cre_tokens.reshape(d * c, l),
+        batch.cre_tok_len.reshape(d * c),
+        batch.cre_labels.reshape(d * c),
+        wcfg, enc_spec, compute_dtype,
+    ).reshape(d, c, -1)
+    gene_emb = encode_windows(
+        params["gene_tokenizer"],
+        batch.gene_tokens.reshape(d * g, l),
+        batch.gene_tok_len.reshape(d * g),
+        jnp.zeros((d * g,), jnp.int32),
+        wcfg, enc_spec, compute_dtype,
+    ).reshape(d, g, -1)
+
+    # === 2. Map to modulator width ===
+    cre = core.linear(params["cre_map"], cre_emb, compute_dtype)    # [D, C, E]
+    gene = core.linear(params["gene_map"], gene_emb, compute_dtype) # [D, G, E]
+
+    # === 3. Registry token fan-out over tissues ===
+    registry = params["registry"][batch.tissue_ids].astype(compute_dtype)  # [T, E]
+    gene_stream = jnp.concatenate(
+        [
+            jnp.broadcast_to(registry[None, :, None, :], (d, t, 1, e)),
+            jnp.broadcast_to(gene[:, None, :, :], (d, t, g, e)),
+        ],
+        axis=2,
+    )  # [D, T, G+1, E]
+    gene_len = batch.gene_count + 1  # registry token is always valid
+
+    slopes = jnp.asarray(alibi_slopes(mcfg.num_heads)) if mcfg.use_alibi else None
+
+    # === 4. CRE stack once per donor, keeping all 25 gene-layer inputs ===
+    ctx_embedding = params["context_embedding"][batch.cre_labels].astype(
+        compute_dtype
+    )  # [D, C, E]
+
+    def cre_body(x, layer_p):
+        out = core.context_encoder_layer(
+            layer_p, x, ctx_embedding, batch.cre_count, batch.cre_count,
+            slopes, mod_spec, compute_dtype,
+        )
+        return out, out
+
+    cre_final, cre_steps = jax.lax.scan(cre_body, cre, params["cre_layers"])
+    # Gene layer i consumes CRE intermediate i (input CRE for i=0).
+    cre_intermediates = jnp.concatenate([cre[None], cre_steps], axis=0)  # [25, D, C, E]
+
+    # === 5. Gene stack scanning over (gene layer, CRE intermediate) pairs ===
+    def gene_body(gs, inputs):
+        layer_p, cre_kv = inputs
+        out = _gene_layer(
+            layer_p, gs, cre_kv, gene_len, batch.cre_count,
+            slopes, mcfg.only_cross_attention, mod_spec, compute_dtype,
+        )
+        return out, None
+
+    gene_stream, _ = jax.lax.scan(
+        gene_body, gene_stream, (params["gene_layers"], cre_intermediates)
+    )
+
+    # === 6. Pool + tissue heads ===
+    pooled = gene_stream[:, :, 0, :]  # [D, T, E] multi-registry pooling
+    pred = tissue_expression_heads(
+        params["tissue_heads"], pooled, batch.tissue_ids, cfg, compute_dtype
+    )
+
+    # === 7. VEP token-position gathers ===
+    if batch.gene_token_position is not None:
+        # Registry token shifts gene positions by one
+        # (reference model_combined_modulator.py:664-666).
+        pos = (batch.gene_token_position + 1).astype(jnp.int32)
+        gene_tok = jnp.take_along_axis(
+            gene_stream, pos[:, None, None, None], axis=2
+        )[:, :, 0, :]
+    else:
+        gene_tok = jnp.zeros((d, t, e), compute_dtype)
+    if batch.cre_token_position is not None:
+        cpos = batch.cre_token_position.astype(jnp.int32)
+        cre_tok = jnp.take_along_axis(cre_final, cpos[:, None, None], axis=1)
+        cre_tok = jnp.broadcast_to(cre_tok, (d, t, e))
+    else:
+        cre_tok = jnp.zeros((d, t, e), compute_dtype)
+
+    return Seq2GeneOutput(
+        pred_expression=pred.astype(jnp.float32),
+        pooled_embedding=pooled.astype(jnp.float32),
+        gene_token_embedding=gene_tok.astype(jnp.float32),
+        cre_token_embedding=cre_tok.astype(jnp.float32),
+    )
+
+
+def tissue_expression_heads(
+    p: Params,
+    pooled: jax.Array,     # [D, T, E]
+    tissue_ids: jax.Array, # [T]
+    cfg: ModelConfig,
+    compute_dtype,
+) -> jax.Array:
+    """Per-tissue expression MLP (bigger-head variant), batched over [D, T].
+
+    Head structure (reference seq2gene/modules/layers.py:1060-1076):
+    Linear(E,E) -> LayerNorm -> GELU -> Linear(E,E) -> GELU -> Linear(E,1)
+    -> Softplus (poisson loss head).
+    """
+    mcfg = cfg.seq2gene
+    if not mcfg.use_bigger_head or mcfg.head_type != "mlp":
+        raise NotImplementedError("only the released bigger-head MLP is wired up")
+    x = pooled.astype(compute_dtype)
+    w1 = p["w1"][tissue_ids].astype(compute_dtype)   # [T, E, E]
+    b1 = p["b1"][tissue_ids].astype(compute_dtype)   # [T, E]
+    h = jnp.einsum("dte,tei->dti", x, w1, preferred_element_type=compute_dtype) + b1
+    ln = {
+        "scale": p["ln_scale"][tissue_ids],
+        "bias": p["ln_bias"][tissue_ids],
+    }
+    h = core.layer_norm(ln, h)
+    h = jax.nn.gelu(h, approximate=False)
+    w2 = p["w2"][tissue_ids].astype(compute_dtype)
+    b2 = p["b2"][tissue_ids].astype(compute_dtype)
+    h = jnp.einsum("dte,tei->dti", h, w2, preferred_element_type=compute_dtype) + b2
+    h = jax.nn.gelu(h, approximate=False)
+    w3 = p["w3"][tissue_ids].astype(compute_dtype)   # [T, E, 1]
+    b3 = p["b3"][tissue_ids].astype(compute_dtype)   # [T, 1]
+    out = jnp.einsum("dte,teo->dto", h, w3, preferred_element_type=jnp.float32)
+    out = out + b3.astype(jnp.float32)
+    return jax.nn.softplus(out[..., 0])

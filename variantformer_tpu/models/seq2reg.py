@@ -1,0 +1,117 @@
+"""Window encoder ("seq2reg"): transformer over 200-token BPE windows.
+
+Functional JAX re-design of the reference Seq2RegPredictor
+(/root/reference/seq2reg/model.py:40-302) used frozen, in ``only_embed`` mode,
+inside the hierarchical model: each CRE/gene window of up to 200 BPE tokens is
+encoded and mean-pooled into one 512-d embedding.
+
+TPU-native notes:
+  * The per-window context (cCRE-class embedding) is constant across a
+    window's positions, so the reference's cross-attention to it reduces
+    exactly to ``out_proj(v_proj(ctx_vec))`` — softmax weights over identical
+    keys sum to one. We exploit that identity (verified by a unit test) and
+    skip the quadratic cross-attention entirely.
+  * Layers run under ``lax.scan`` over stacked parameters: one compiled layer
+    body regardless of depth.
+  * All shapes are static; window validity is a per-window token count
+    (suffix padding), which also keeps ALiBi distances exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from variantformer_tpu.config import WindowEncoderConfig
+from variantformer_tpu.models import core
+from variantformer_tpu.models.core import AttnSpec, Params
+from variantformer_tpu.ops.alibi import alibi_slopes
+
+
+def sinusoidal_position_encoding(d_model: int, length: int) -> np.ndarray:
+    """Standard 1d sin/cos table (reference seq2reg/model.py:15-37)."""
+    position = np.arange(length, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * -(np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((length, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+def _constant_context_bias(cross_p: Params, ctx_vec: jax.Array, compute_dtype) -> jax.Array:
+    """Cross-attention against positionally-constant keys, in closed form.
+
+    With every key/value equal to ``ctx_vec``, softmax weights sum to 1 and the
+    attention output is exactly ``out_proj(v_proj(ctx_vec))`` for every query.
+    """
+    kv = core.linear(cross_p["wkv"], ctx_vec, compute_dtype)  # [B, 2E]
+    _, v = jnp.split(kv, 2, axis=-1)
+    return core.linear(cross_p["out"], v, compute_dtype)      # [B, E]
+
+
+def encode_windows(
+    params: Params,
+    tokens: jax.Array,        # [N, L] int32 BPE ids (suffix-padded)
+    tok_len: jax.Array,       # [N] int32 valid token counts
+    context: jax.Array,       # [N] int32 cCRE-class ids (zeros for gene windows)
+    cfg: WindowEncoderConfig,
+    spec: AttnSpec,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Embed + encode + mean-pool each window. Returns [N, E] (compute dtype)."""
+    n, length = tokens.shape
+    x = params["token_embedding"][tokens].astype(compute_dtype)  # [N, L, E]
+
+    slopes = None
+    if cfg.positional_encoding == "alibi":
+        slopes = jnp.asarray(alibi_slopes(cfg.num_heads))
+    else:
+        pe = jnp.asarray(sinusoidal_position_encoding(cfg.embedding_dim, length))
+        x = x + pe.astype(compute_dtype)
+
+    ctx_vec = params["context_embedding"][context].astype(compute_dtype)  # [N, E]
+
+    def layer_body(x, layer_p):
+        res_long = x
+        h = core.self_attention_block(
+            layer_p["mixer"], core.layer_norm(layer_p["norm1"], x),
+            tok_len, slopes, spec, compute_dtype,
+        )
+        h = h + x
+        ctx_bias = _constant_context_bias(layer_p["cross"], ctx_vec, compute_dtype)
+        h2 = ctx_bias[:, None, :] + h  # cross-attn output + residual
+        out = core.geglu_ffn(layer_p, core.layer_norm(layer_p["norm3"], h2), compute_dtype)
+        return out + res_long, None
+
+    # norm2 is applied to h before cross-attn in the reference; but the
+    # closed-form context bias does not depend on the queries at all, so
+    # norm2(h) never influences the output and is elided here.
+    x, _ = jax.lax.scan(layer_body, x, params["layers"])
+
+    valid = (jnp.arange(length)[None, :] < tok_len[:, None])  # [N, L]
+    if cfg.seq_pool == "mean":
+        denom = jnp.maximum(tok_len, 1).astype(jnp.float32)[:, None]
+        pooled = jnp.sum(
+            x.astype(jnp.float32) * valid[:, :, None], axis=1
+        ) / denom
+    elif cfg.seq_pool == "max":
+        masked = jnp.where(valid[:, :, None], x.astype(jnp.float32), -jnp.inf)
+        pooled = jnp.max(masked, axis=1)
+    else:
+        raise NotImplementedError(f"seq_pool={cfg.seq_pool}")
+    return pooled.astype(compute_dtype)
+
+
+def classify_windows(
+    params: Params,
+    embeddings: jax.Array,   # [N, E] pooled window embeddings
+    tissue_ids: jax.Array,   # [N] int32
+) -> jax.Array:
+    """Per-tissue linear CRE-class heads (reference seq2reg/model.py:285-301),
+    as one gather + batched matmul instead of a python loop over tissues."""
+    w = params["tissue_classifiers"]["w"][tissue_ids]  # [N, E, C]
+    b = params["tissue_classifiers"]["b"][tissue_ids]  # [N, C]
+    return jnp.einsum("ne,nec->nc", embeddings.astype(jnp.float32), w.astype(jnp.float32)) + b
