@@ -1,0 +1,97 @@
+"""BPE tokenizer tests: differential vs the HuggingFace Rust implementation
+(the library the reference uses), over the released 500-token DNA vocabulary."""
+
+import numpy as np
+import pytest
+
+from variantformer_tpu.utils.bpe import BPETokenizer
+
+try:
+    from variantformer_tpu.utils.assets import resolve_vocab_path
+
+    VOCAB_PATH = resolve_vocab_path("bpe_vocabulary_500.json")
+except FileNotFoundError:
+    VOCAB_PATH = None
+
+pytestmark = pytest.mark.skipif(VOCAB_PATH is None, reason="vocab not available")
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return BPETokenizer.from_file(VOCAB_PATH)
+
+
+@pytest.fixture(scope="module")
+def hf_tok():
+    tokenizers = pytest.importorskip("tokenizers")
+    return tokenizers.Tokenizer.from_file(VOCAB_PATH)
+
+
+def _random_dna(rng, n, alphabet="ACGT"):
+    return "".join(rng.choice(list(alphabet)) for _ in range(n))
+
+
+def test_matches_huggingface_on_random_dna(tok, hf_tok):
+    import random
+
+    rng = random.Random(0)
+    for trial in range(20):
+        n = rng.randint(1, 2000)
+        seq = _random_dna(rng, n)
+        ours, _ = tok.encode_strand([seq])
+        theirs = hf_tok.encode(seq).ids
+        assert ours == theirs, f"trial {trial}: mismatch on length {n}"
+
+
+def test_matches_huggingface_with_iupac_codes(tok, hf_tok):
+    import random
+
+    rng = random.Random(1)
+    alphabet = "ACGTRYSWKMBDHV"
+    for trial in range(10):
+        seq = _random_dna(rng, rng.randint(10, 500), alphabet)
+        ours, _ = tok.encode_strand([seq])
+        theirs = hf_tok.encode(seq).ids
+        assert ours == theirs
+
+
+def test_normalize_splits_on_n():
+    subs = BPETokenizer.normalize(["ACGTNNNGGG", "nnn", "acgt"])
+    assert subs == ["ACGT", "GGG", "ACGT"]
+
+
+def test_encode_both_strands(tok):
+    ids_f, tok_f, ids_r, tok_r = tok.encode(["ACGTACGT", "A"])
+    assert "".join(tok_f) == "ACGTACGT"
+    assert ids_r == [tok.vocab["A"]]
+
+
+def test_encode_with_position_tracks_through_n_runs(tok):
+    seq = "ACGT" + "N" * 7 + "GGCCA" * 40
+    # position inside the second subsequence
+    pos = 4 + 7 + 13
+    d = tok.encode_with_position(seq, pos)
+    # reconstruct: tokens of subseq 2 start after tokens of subseq 1
+    sub1_ids, _ = tok.encode_strand(["ACGT"])
+    assert d["target_subsequence"] == "GGCCA" * 40
+    offsets = d["offsets"]
+    tid = d["position_id"] - len(sub1_ids)
+    start, end = offsets[tid]
+    assert start <= 13 < end
+    # the covering token's characters include the target base
+    assert d["position_token"] == d["target_subsequence"][start:end]
+
+
+def test_encode_with_position_invalid_char(tok):
+    with pytest.raises(ValueError):
+        tok.encode_with_position("ACGTN", 4)
+
+
+def test_long_sequence_round_trip(tok):
+    import random
+
+    rng = random.Random(2)
+    seq = _random_dna(rng, 50_000)
+    ids, toks = tok.encode_strand([seq])
+    assert "".join(toks) == seq
+    assert tok.decode(ids) == seq

@@ -1,0 +1,100 @@
+"""Differential tests: Pallas flash kernels vs the dense jnp oracle.
+
+On the CPU test rig these use the Pallas interpreter; the same tests pass
+compiled on a real TPU (see .claude/skills/verify/SKILL.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from variantformer_tpu.ops import attention as attn_xla
+from variantformer_tpu.ops import flash
+from variantformer_tpu.ops.alibi import alibi_slopes
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize("seq,heads,dim", [(64, 4, 16), (200, 2, 48)])
+def test_self_attention_matches_oracle(seq, heads, dim):
+    keys = jax.random.split(jax.random.key(0), 3)
+    b = 3
+    q, k, v = (_rand(keys[i], (b, seq, heads, dim)) for i in range(3))
+    kv_len = jnp.asarray([seq, seq // 2, 1], jnp.int32)
+    slopes = jnp.asarray(alibi_slopes(heads))
+    scale = dim ** -0.5
+    ref = attn_xla.self_attention(q, k, v, kv_len, slopes, scale)
+    out = flash.self_attention(q, k, v, kv_len, slopes, scale)
+    # only rows < kv_len are contract-valid
+    for i, n in enumerate([seq, seq // 2, 1]):
+        np.testing.assert_allclose(
+            np.asarray(out[i, :n]), np.asarray(ref[i, :n]), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_cross_attention_matches_oracle():
+    keys = jax.random.split(jax.random.key(1), 3)
+    b, sq, sk, heads, dim = 2, 40, 120, 4, 48
+    q = _rand(keys[0], (b, sq, heads, dim))
+    k = _rand(keys[1], (b, sk, heads, dim))
+    v = _rand(keys[2], (b, sk, heads, dim))
+    kv_len = jnp.asarray([120, 77], jnp.int32)
+    scale = dim ** -0.5
+    ref = attn_xla.cross_attention(q, k, v, None, kv_len, scale)
+    out = flash.cross_attention(q, k, v, None, kv_len, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_shared_kv_matches_broadcast():
+    keys = jax.random.split(jax.random.key(2), 3)
+    b, t, sq, sk, heads, dim = 2, 3, 16, 64, 2, 32
+    q = _rand(keys[0], (b, t, sq, heads, dim))
+    k = _rand(keys[1], (b, sk, heads, dim))
+    v = _rand(keys[2], (b, sk, heads, dim))
+    kv_len = jnp.asarray([64, 33], jnp.int32)
+    scale = dim ** -0.5
+    out = flash.cross_attention_shared_kv(q, k, v, kv_len, scale)
+    # oracle: per-tissue dense attention against the shared kv
+    for ti in range(t):
+        ref = attn_xla.cross_attention(q[:, ti], k, v, None, kv_len, scale)
+        np.testing.assert_allclose(
+            np.asarray(out[:, ti]), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_bf16_inputs():
+    keys = jax.random.split(jax.random.key(3), 3)
+    b, s, heads, dim = 2, 128, 4, 64
+    q, k, v = (_rand(keys[i], (b, s, heads, dim), jnp.bfloat16) for i in range(3))
+    kv_len = jnp.asarray([128, 100], jnp.int32)
+    slopes = jnp.asarray(alibi_slopes(heads))
+    scale = dim ** -0.5
+    ref = attn_xla.self_attention(q, k, v, kv_len, slopes, scale)
+    out = flash.self_attention(q, k, v, kv_len, slopes, scale)
+    for i, n in enumerate([128, 100]):
+        np.testing.assert_allclose(
+            np.asarray(out[i, :n], np.float32),
+            np.asarray(ref[i, :n], np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
+
+def test_model_forward_pallas_matches_xla():
+    """Whole-model check: impl='pallas' (interpreter) vs impl='xla'."""
+    from tests.test_model_smoke import tiny_batch, tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = tiny_batch(np.random.default_rng(0))
+    out_xla = seq2gene_forward(params, batch, cfg, impl="xla")
+    out_pallas = seq2gene_forward(params, batch, cfg, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.pred_expression),
+        np.asarray(out_xla.pred_expression),
+        rtol=2e-2, atol=2e-2,
+    )

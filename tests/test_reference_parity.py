@@ -1,0 +1,271 @@
+"""Differential tests against the reference implementation's own forward code.
+
+The reference (read-only at /root/reference) runs on CPU torch with its
+flash-attn/lightning dependencies stubbed by dense equivalents
+(tests/reference_oracle.py). Weights are exported through the production
+checkpoint converter (models/convert.py), so these tests cover the converter,
+the layer topology, and the end-to-end model semantics in one shot.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from tests import reference_oracle
+
+if not reference_oracle.reference_available():
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+reference_oracle.install_reference_stubs()
+
+import jax
+import jax.numpy as jnp
+
+from variantformer_tpu.config import (
+    ModelConfig,
+    PrecisionPolicy,
+    Seq2GeneConfig,
+    WindowEncoderConfig,
+)
+from variantformer_tpu.models import convert, core
+from variantformer_tpu.models.core import AttnSpec
+from variantformer_tpu.models.seq2gene import Seq2GeneBatch, seq2gene_forward
+from variantformer_tpu.models.seq2reg import encode_windows
+from variantformer_tpu.ops.alibi import alibi_slopes
+
+torch.manual_seed(0)
+
+FP32 = jnp.float32
+
+
+def _prefixed(sd, prefix):
+    return {f"{prefix}.{k}": v.detach().numpy() for k, v in sd.items()}
+
+
+def _suffix_mask(lengths, width):
+    """torch padding mask, True = padded."""
+    return torch.arange(width)[None, :] >= torch.as_tensor(lengths)[:, None]
+
+
+def test_context_layer_parity():
+    from seq2gene.modules.layers import ContextFlashAttentionEncoderLayer
+
+    d_model, heads, b, s, sk = 32, 4, 3, 10, 7
+    layer = ContextFlashAttentionEncoderLayer(
+        d_model=d_model, nhead=heads, use_alibi=True, mlp_dout=0.0, hidden_dim=64
+    ).eval()
+    x = torch.randn(b, s, d_model)
+    ctx = torch.randn(b, sk, d_model)
+    x_len = [10, 6, 3]
+    ctx_len = [7, 5, 2]
+    with torch.no_grad():
+        ref = layer(
+            x, ctx,
+            src_key_padding_mask=_suffix_mask(x_len, s),
+            context_padding_mask=_suffix_mask(ctx_len, sk),
+            precision=None,
+        )
+
+    sd = _prefixed(layer.state_dict(), "transformer_encoder.0")
+    p = convert._context_layer(sd, "transformer_encoder.0", heads)
+    p = jax.tree.map(jnp.asarray, p)
+    spec = AttnSpec(num_heads=heads, head_dim=d_model // heads)
+    out = core.context_encoder_layer(
+        p, jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy()),
+        jnp.asarray(x_len), jnp.asarray(ctx_len),
+        jnp.asarray(alibi_slopes(heads)), spec, FP32,
+    )
+    valid = np.arange(s)[None, :, None] < np.asarray(x_len)[:, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, ref.numpy() * valid, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_cross_only_layer_parity():
+    from seq2gene.modules.layers import ContextFlashCrossAttentionEncoderLayer
+
+    d_model, heads, b, s, sk = 32, 4, 2, 6, 9
+    layer = ContextFlashCrossAttentionEncoderLayer(
+        d_model=d_model, nhead=heads, use_alibi=True, mlp_dout=0.0, hidden_dim=64
+    ).eval()
+    x = torch.randn(b, s, d_model)
+    ctx = torch.randn(b, sk, d_model)
+    x_len = [6, 4]
+    ctx_len = [9, 5]
+    with torch.no_grad():
+        ref = layer(
+            x, ctx,
+            src_key_padding_mask=_suffix_mask(x_len, s),
+            context_padding_mask=_suffix_mask(ctx_len, sk),
+            precision=None,
+        )
+    sd = _prefixed(layer.state_dict(), "L.0")
+    p = {
+        "norm1": convert._norm(sd, "L.0.norm1"),
+        "norm2": convert._norm(sd, "L.0.norm2"),
+        "cross": {
+            "wq": convert._lin(sd, "L.0.crossMHA.MHA.Wq"),
+            "wkv": convert._packed_lin(sd, "L.0.crossMHA.MHA.Wkv", 2, heads),
+            "out": convert._lin(sd, "L.0.crossMHA.MHA.out_proj"),
+        },
+        "ffn_in": convert._lin(sd, "L.0.linear_geglu_1"),
+        "ffn_out": convert._lin(sd, "L.0.linear_geglu_2"),
+    }
+    p = jax.tree.map(jnp.asarray, p)
+    spec = AttnSpec(num_heads=heads, head_dim=d_model // heads)
+    out = core.cross_only_encoder_layer(
+        p, jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy()),
+        jnp.asarray(ctx_len), spec, FP32,
+    )
+    valid = np.arange(s)[None, :, None] < np.asarray(x_len)[:, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, ref.numpy() * valid, rtol=1e-4, atol=1e-4
+    )
+
+
+def _tiny_seq2reg(vocab=40, e=32, heads=4, layers=2, tissues=5, use_context=False):
+    from seq2reg.model import Seq2RegPredictor
+
+    return Seq2RegPredictor(
+        vocab_size=vocab, embedding_dim=e, num_heads=heads, num_layers=layers,
+        num_tissues=tissues, num_classes=11, learning_rate=1e-4,
+        loss_fn=["cross_entropy", 0], seq_pool="mean", cre_type="multi",
+        token_length=None, use_context=use_context, positional_encoding="alibi",
+        use_flash=True, mlp_dout=0.0,
+    ).eval()
+
+
+def _wcfg(vocab=40, e=32, heads=4, layers=2, use_context=False):
+    return WindowEncoderConfig(
+        vocab_size=vocab, embedding_dim=e, num_heads=heads, num_layers=layers,
+        ffn_hidden_dim=2048, token_length=12, use_context=use_context,
+    )
+
+
+@pytest.mark.parametrize("use_context", [False, True])
+def test_window_encoder_parity(use_context):
+    torch.set_float32_matmul_precision("highest")
+    model = _tiny_seq2reg(use_context=use_context)
+    n, length = 6, 12
+    tokens = torch.randint(4, 40, (n, 1, length))
+    lens = torch.tensor([12, 9, 5, 1, 7, 12])
+    pad_mask = _suffix_mask(lens, length).unsqueeze(1)  # [N, 1, L], True=pad
+    context = torch.randint(0, 9, (n,))
+    tissue = torch.zeros(n, dtype=torch.long)
+    with torch.no_grad():
+        if use_context:
+            ref = model(tokens, pad_mask, tissue, context=context,
+                        only_embed=True, precision=None)
+        else:
+            ref = model(tokens, pad_mask, tissue, only_embed=True, precision=None)
+    ref = ref[:, 0, :].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    assert convert.window_encoder_uses_context(sd) == use_context
+    params = jax.tree.map(jnp.asarray, convert.convert_window_encoder(sd, num_heads=4))
+    cfg = _wcfg(use_context=use_context)
+    spec = AttnSpec(num_heads=4, head_dim=8)
+    out = encode_windows(
+        params, jnp.asarray(tokens[:, 0, :].numpy()), jnp.asarray(lens.numpy()),
+        jnp.asarray(context.numpy()), cfg, spec, FP32,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_parity():
+    """End-to-end: reference Seq2GenePredictorCombinedModulator vs our forward."""
+    from seq2gene.model_combined_modulator import Seq2GenePredictorCombinedModulator
+
+    vocab, token_e, e, heads, layers, length = 40, 32, 48, 4, 3, 12
+    tissues_all = 7
+    cre_tok = _tiny_seq2reg(vocab=vocab, e=token_e, heads=4, layers=2, tissues=tissues_all)
+    gene_tok = _tiny_seq2reg(vocab=vocab, e=token_e, heads=4, layers=2, tissues=tissues_all)
+    model = Seq2GenePredictorCombinedModulator(
+        num_tissues=tissues_all, emb_dim=e, gene_emb_dim=token_e, num_heads=heads,
+        num_layers=layers, use_alibi=True, mlp_dout=0.0, use_context=True,
+        token_dim=token_e, cre_tokenizer=cre_tok, gene_tokenizer=gene_tok,
+        gene_pooling="multi_registry", only_cross_attention=False,
+        use_bigger_head=True, multi_head=True, use_batching=True,
+        train_gene_tokenizer=True, cross_alibi=False, use_res=False,
+    ).eval()
+    import types
+
+    model.trainer = types.SimpleNamespace(precision="bf16-mixed")
+
+    d = 2
+    tissue_list = [1, 3, 6]
+    c_counts = [4, 3]
+    g_counts = [3, 2]
+    rng = np.random.default_rng(0)
+
+    inp, att, tiss, labels, gene_inp, gene_att = [], [], [], [], [], []
+    for di in range(d):
+        cl = torch.tensor(rng.integers(1, length + 1, c_counts[di]))
+        gl = torch.tensor(rng.integers(1, length + 1, g_counts[di]))
+        inp.append(torch.randint(4, vocab, (c_counts[di], 1, length)))
+        att.append(_suffix_mask(cl, length).unsqueeze(1))
+        tiss.append(torch.tensor(tissue_list))
+        labels.append(torch.tensor(rng.integers(0, 9, c_counts[di])))
+        gene_inp.append(torch.randint(4, vocab, (g_counts[di], 1, length)))
+        gene_att.append(_suffix_mask(gl, length).unsqueeze(1))
+    strand = torch.zeros(d, 1, dtype=torch.long)
+    cre_pos = torch.tensor([1, 0])
+    gene_pos = torch.tensor([0, 1])
+
+    with torch.no_grad():
+        pred, donors, embd, gene_tok_emb, cre_tok_emb = model(
+            inp, att, tiss, labels, strand, gene_inp, gene_att,
+            return_embedding=True,
+            cre_token_position=cre_pos, gene_token_position=gene_pos,
+        )
+    t = len(tissue_list)
+    ref_pred = pred.numpy().reshape(d, t)
+    ref_embd = embd.numpy().reshape(d, t, e)
+    ref_gene_tok = gene_tok_emb.numpy().reshape(d, t, e)
+    ref_cre_tok = cre_tok_emb.numpy().reshape(d, t, e)
+
+    # --- our side, through the production converter ---
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert.convert_seq2gene(sd, num_heads=heads, encoder_num_heads=4))
+    cfg = ModelConfig(
+        window_encoder=_wcfg(vocab=vocab, e=token_e, heads=4, layers=2),
+        seq2gene=Seq2GeneConfig(
+            emb_dim=e, gene_emb_dim=token_e, token_dim=token_e, num_heads=heads,
+            num_layers=layers, num_tissues=tissues_all, only_cross_attention=False,
+        ),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    c_max, g_max = max(c_counts), max(g_counts)
+
+    def pack(seqs, masks, counts, width):
+        out = np.zeros((d, width, length), np.int32)
+        lens = np.zeros((d, width), np.int32)
+        for di in range(d):
+            out[di, : counts[di]] = seqs[di][:, 0, :].numpy()
+            lens[di, : counts[di]] = (~masks[di][:, 0, :].numpy()).sum(-1)
+        return out, lens
+
+    cre_tokens, cre_lens = pack(inp, att, c_counts, c_max)
+    gene_tokens, gene_lens = pack(gene_inp, gene_att, g_counts, g_max)
+    label_arr = np.zeros((d, c_max), np.int32)
+    for di in range(d):
+        label_arr[di, : c_counts[di]] = labels[di].numpy()
+
+    batch = Seq2GeneBatch(
+        cre_tokens=jnp.asarray(cre_tokens),
+        cre_tok_len=jnp.asarray(cre_lens),
+        cre_count=jnp.asarray(c_counts, jnp.int32),
+        cre_labels=jnp.asarray(label_arr),
+        gene_tokens=jnp.asarray(gene_tokens),
+        gene_tok_len=jnp.asarray(gene_lens),
+        gene_count=jnp.asarray(g_counts, jnp.int32),
+        tissue_ids=jnp.asarray(tissue_list, jnp.int32),
+        cre_token_position=jnp.asarray(cre_pos.numpy(), jnp.int32),
+        gene_token_position=jnp.asarray(gene_pos.numpy(), jnp.int32),
+    )
+    out = seq2gene_forward(params, batch, cfg)
+
+    np.testing.assert_allclose(np.asarray(out.pooled_embedding), ref_embd, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.pred_expression), ref_pred, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.gene_token_embedding), ref_gene_tok, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.cre_token_embedding), ref_cre_tok, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,189 @@
+"""Sequence-engine tests: BGZF round trip, FASTA indexing, VCF parsing, and
+diploid IUPAC consensus semantics (the ``bcftools consensus -H I`` contract)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from variantformer_tpu.utils.bgzf import BGZFReader, is_bgzf, write_bgzf
+from variantformer_tpu.utils.fasta import FastaReader
+from variantformer_tpu.utils.sequence import het_iupac_code, reverse_complement
+from variantformer_tpu.utils.vcf import ConsensusEngine, VCFReader
+
+
+# ---------------------------------------------------------------- fixtures
+def _write_fasta(path, contigs, width=10):
+    with open(path, "w") as fh:
+        for name, seq in contigs.items():
+            fh.write(f">{name} test\n")
+            for i in range(0, len(seq), width):
+                fh.write(seq[i : i + width] + "\n")
+
+
+def _write_vcf(path, records, sample="S1", bgzf=False):
+    lines = [
+        "##fileformat=VCFv4.2",
+        f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}",
+    ]
+    for chrom, pos, ref, alt, gt in records:
+        lines.append(f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t.\tPASS\t.\tGT\t{gt}")
+    data = ("\n".join(lines) + "\n").encode()
+    if bgzf:
+        write_bgzf(str(path), data)
+    else:
+        path.write_bytes(data)
+
+
+CHR1 = "ACGTACGTACGTACGTACGTAAAACCCCGGGGTTTTACGTACGT"
+
+
+# ---------------------------------------------------------------- BGZF
+def test_bgzf_round_trip(tmp_path):
+    data = bytes(np.random.default_rng(0).integers(65, 90, 300_000, dtype=np.uint8))
+    path = tmp_path / "x.gz"
+    write_bgzf(str(path), data)
+    assert is_bgzf(str(path))
+    # standard gzip can decompress BGZF
+    assert gzip.decompress(path.read_bytes()) == data
+    reader = BGZFReader(path)
+    assert reader.read_at(0, 100) == data[:100]
+    assert reader.read_at(70_000, 200) == data[70_000:70_200]
+    assert reader.read_at(299_990, 100) == data[299_990:]
+    reader.save_index()
+    reader2 = BGZFReader(path)  # now loads the .gzi
+    assert reader2.read_at(123_456, 77) == data[123_456:123_533]
+
+
+# ---------------------------------------------------------------- FASTA
+def test_fasta_fetch_plain(tmp_path):
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, {"chr1": CHR1, "chr2": "GGGGAAAATTTT"})
+    r = FastaReader(fa)
+    assert r.fetch("chr1", 0, 4) == "ACGT"
+    assert r.fetch("chr1", 9, 23) == CHR1[9:23]
+    assert r.fetch("chr2", 4, 8) == "AAAA"
+    assert r.contig_length("chr1") == len(CHR1)
+    # bounds clamping
+    assert r.fetch("chr1", -5, 4) == "ACGT"
+    assert r.fetch("chr1", 40, 999) == CHR1[40:]
+
+
+def test_fasta_fetch_bgzf(tmp_path):
+    raw_lines = []
+    for name, seq in {"chr1": CHR1}.items():
+        raw_lines.append(f">{name}")
+        for i in range(0, len(seq), 7):
+            raw_lines.append(seq[i : i + 7])
+    raw = ("\n".join(raw_lines) + "\n").encode()
+    fa = tmp_path / "g.fa.gz"
+    write_bgzf(str(fa), raw)
+    r = FastaReader(fa)
+    assert r.fetch("chr1", 3, 17) == CHR1[3:17]
+    assert r.fetch("chr1", 0, len(CHR1)) == CHR1
+
+
+# ---------------------------------------------------------------- VCF
+def test_vcf_parse_and_query(tmp_path):
+    vcf = tmp_path / "s.vcf"
+    _write_vcf(
+        vcf,
+        [
+            ("chr1", 3, "G", "C", "0|1"),
+            ("chr1", 10, "G", "A", "1|1"),
+            ("chr1", 21, "A", "AT", "0/1"),
+            ("chr1", 25, "C", "<DEL>", "0/1"),  # symbolic -> dropped
+            ("chr2", 5, "A", "T", "0/0"),       # hom ref -> dropped
+        ],
+    )
+    r = VCFReader(str(vcf))
+    assert r.sample_names == ["S1"]
+    vars_all = r.query("chr1", 0, 50)
+    assert [v.pos for v in vars_all] == [3, 10, 21]
+    assert r.query("chr1", 3, 10)[0].pos == 10 or len(r.query("chr1", 3, 10)) == 1
+    assert r.query("chr2", 0, 50) == []
+
+
+def test_vcf_bgzf(tmp_path):
+    vcf = tmp_path / "s.vcf.gz"
+    _write_vcf(vcf, [("chr1", 3, "G", "C", "0|1")], bgzf=True)
+    r = VCFReader(str(vcf))
+    assert len(r.query("chr1", 0, 10)) == 1
+
+
+# ---------------------------------------------------------------- consensus
+def test_consensus_het_snp_iupac(tmp_path):
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, {"chr1": CHR1})
+    vcf = tmp_path / "s.vcf"
+    _write_vcf(vcf, [("chr1", 3, "G", "C", "0|1"), ("chr1", 11, "G", "A", "1|1")])
+    engine = ConsensusEngine(FastaReader(fa), VCFReader(str(vcf)))
+    seq, n = engine.consensus("chr1", 0, 12)
+    # pos 3 (1-based) = index 2: G/C het -> S; pos 11 = index 10: G->A hom
+    expected = list(CHR1[:12])
+    expected[2] = het_iupac_code("G", "C")
+    expected[10] = "A"
+    assert seq == "".join(expected)
+    assert n == 2
+
+
+def test_consensus_region_excludes_outside_variants(tmp_path):
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, {"chr1": CHR1})
+    vcf = tmp_path / "s.vcf"
+    _write_vcf(vcf, [("chr1", 3, "G", "C", "1|1"), ("chr1", 30, "G", "T", "1|1")])
+    engine = ConsensusEngine(FastaReader(fa), VCFReader(str(vcf)))
+    seq, n = engine.consensus("chr1", 10, 20)
+    assert seq == CHR1[10:20]
+    assert n == 0
+
+
+def test_consensus_indels_shift_downstream(tmp_path):
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, {"chr1": CHR1})
+    vcf = tmp_path / "s.vcf"
+    _write_vcf(
+        vcf,
+        [
+            ("chr1", 2, "CG", "C", "1|1"),   # deletion of index-2 base
+            ("chr1", 9, "A", "ATT", "1|1"),  # insertion after index 8
+        ],
+    )
+    engine = ConsensusEngine(FastaReader(fa), VCFReader(str(vcf)))
+    seq, n = engine.consensus("chr1", 0, 12)
+    # ACGTACGTACGT -> del idx2 G, insert TT after idx8 A
+    assert seq == "ACTACGTATTCGT"
+    assert n == 2
+
+
+def test_consensus_snps_only_filter(tmp_path):
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, {"chr1": CHR1})
+    vcf = tmp_path / "s.vcf"
+    _write_vcf(
+        vcf,
+        [("chr1", 2, "CG", "C", "1|1"), ("chr1", 6, "C", "T", "1|1")],
+    )
+    engine = ConsensusEngine(FastaReader(fa), VCFReader(str(vcf)))
+    seq, n = engine.consensus("chr1", 0, 8, snps_only=True)
+    expected = list(CHR1[:8])
+    expected[5] = "T"
+    assert seq == "".join(expected)
+    assert n == 1
+
+
+def test_consensus_ref_mismatch_skipped(tmp_path):
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, {"chr1": CHR1})
+    vcf = tmp_path / "s.vcf"
+    _write_vcf(vcf, [("chr1", 3, "T", "C", "1|1")])  # ref is actually G
+    engine = ConsensusEngine(FastaReader(fa), VCFReader(str(vcf)))
+    seq, n = engine.consensus("chr1", 0, 8)
+    assert seq == CHR1[:8]
+    assert n == 0
+
+
+def test_reverse_complement_iupac():
+    assert reverse_complement("ACGT") == "ACGT"
+    assert reverse_complement("RYSWKM") == "KMWSRY"
+    assert reverse_complement("acgtN-") == "-Nacgt"

@@ -29,7 +29,12 @@ class WindowEncoderConfig:
     ffn_hidden_dim: int = 2048          # GeGLU input width (split into 2x1024)
     num_tissues: int = 63
     num_classes: int = 11
-    use_context: bool = True            # cross-attend to cCRE-class embedding
+    # Whether encoder layers cross-attend to a per-window cCRE-class
+    # embedding. The released pipeline passes float dummy context for gene
+    # windows, which only type-checks when the tokenizer checkpoints were
+    # built with use_context=False (plain self-attention layers) — hence the
+    # default. Calibrated from checkpoint hyper-parameters at load.
+    use_context: bool = False
     positional_encoding: str = "alibi"  # "alibi" | "sinusoidal"
     seq_pool: str = "mean"              # "mean" | "max" | "linear"
     strand_agg: str = "mean"

@@ -65,9 +65,16 @@ def geglu_ffn(p: Params, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
     return linear(p["ffn_out"], h, compute_dtype)
 
 
-def _split_heads(x: jax.Array, num: int, heads: int, head_dim: int) -> jax.Array:
-    """[..., num*heads*head_dim] -> [..., num, heads, head_dim] (num outermost)."""
-    return x.reshape(*x.shape[:-1], num, heads, head_dim)
+def split_packed_heads(x: jax.Array, num: int, heads: int, head_dim: int):
+    """[..., heads*num*head_dim] -> ``num`` arrays of [..., heads, head_dim].
+
+    Packed projections are stored head-major (H, num, D): contiguous chunks of
+    the flat output dim are whole heads, so sharding that dim across a mesh
+    axis is head-parallel tensor parallelism with no resharding at the
+    reshape (see models/convert._packed_lin).
+    """
+    x = x.reshape(*x.shape[:-1], heads, num, head_dim)
+    return tuple(x[..., i, :] for i in range(num))
 
 
 def self_attention_block(
@@ -80,13 +87,13 @@ def self_attention_block(
 ) -> jax.Array:
     b, s, e = x.shape
     qkv = linear(p["wqkv"], x, compute_dtype)
-    qkv = _split_heads(qkv, 3, spec.num_heads, spec.head_dim)
+    q, k, v = split_packed_heads(qkv, 3, spec.num_heads, spec.head_dim)
     if spec.impl == "pallas":
         from variantformer_tpu.ops import flash
 
-        out = flash.self_attention(qkv, kv_len, slopes, spec.scale)
+        out = flash.self_attention(q, k, v, kv_len, slopes, spec.scale)
     else:
-        out = attn_xla.self_attention(qkv, kv_len, slopes, spec.scale)
+        out = attn_xla.self_attention(q, k, v, kv_len, slopes, spec.scale)
     out = out.reshape(b, s, e)
     return linear(p["out"], out, compute_dtype)
 
@@ -101,15 +108,15 @@ def cross_attention_block(
 ) -> jax.Array:
     b, sq, e = x.shape
     q = linear(p["wq"], x, compute_dtype)
-    q = _split_heads(q, 1, spec.num_heads, spec.head_dim)[:, :, 0]
+    q = q.reshape(b, sq, spec.num_heads, spec.head_dim)
     kv = linear(p["wkv"], ctx, compute_dtype)
-    kv = _split_heads(kv, 2, spec.num_heads, spec.head_dim)
+    k, v = split_packed_heads(kv, 2, spec.num_heads, spec.head_dim)
     if spec.impl == "pallas":
         from variantformer_tpu.ops import flash
 
-        out = flash.cross_attention(q, kv, None, ctx_len, spec.scale)
+        out = flash.cross_attention(q, k, v, None, ctx_len, spec.scale)
     else:
-        out = attn_xla.cross_attention(q, kv, None, ctx_len, spec.scale)
+        out = attn_xla.cross_attention(q, k, v, None, ctx_len, spec.scale)
     out = out.reshape(b, sq, e)
     return linear(p["out"], out, compute_dtype)
 

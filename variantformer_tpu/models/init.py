@@ -52,13 +52,35 @@ def _context_layer_stack(key, num_layers: int, dim: int, hidden: int, dtype=jnp.
     }
 
 
+def _plain_layer_stack(key, num_layers: int, dim: int, hidden: int, dtype=jnp.float32):
+    keys = jax.random.split(key, 4)
+    return {
+        "norm1": _norm(dim, num_layers, dtype),
+        "norm2": _norm(dim, num_layers, dtype),
+        "mixer": {
+            "wqkv": _linear(keys[0], dim, 3 * dim, num_layers, dtype),
+            "out": _linear(keys[1], dim, dim, num_layers, dtype),
+        },
+        "ffn_in": _linear(keys[2], dim, hidden, num_layers, dtype),
+        "ffn_out": _linear(keys[3], hidden // 2, dim, num_layers, dtype),
+    }
+
+
 def init_window_encoder(key, cfg: WindowEncoderConfig, dtype=jnp.float32):
     keys = jax.random.split(key, 4)
     e = cfg.embedding_dim
+    if cfg.use_context:
+        layers = _context_layer_stack(
+            keys[2], cfg.num_layers, e, cfg.ffn_hidden_dim, dtype
+        )
+    else:
+        layers = _plain_layer_stack(
+            keys[2], cfg.num_layers, e, cfg.ffn_hidden_dim, dtype
+        )
     return {
         "token_embedding": jax.random.normal(keys[0], (cfg.vocab_size, e), dtype),
         "context_embedding": jax.random.normal(keys[1], (9, e), dtype),
-        "layers": _context_layer_stack(keys[2], cfg.num_layers, e, cfg.ffn_hidden_dim, dtype),
+        "layers": layers,
         "tissue_classifiers": {
             "w": jax.random.normal(keys[3], (cfg.num_tissues, e, cfg.num_classes), dtype)
             * (e ** -0.5),

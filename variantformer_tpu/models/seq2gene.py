@@ -79,8 +79,8 @@ def _gene_cross_attention(
     q = core.linear(p["wq"], x, compute_dtype)
     q = q.reshape(d, t, sq, spec.num_heads, spec.head_dim)
     kv = core.linear(p["wkv"], ctx, compute_dtype)
-    kv = kv.reshape(d, ctx.shape[1], 2, spec.num_heads, spec.head_dim)
-    k, v = kv[:, :, 0], kv[:, :, 1]
+    kv = kv.reshape(d, ctx.shape[1], spec.num_heads, 2, spec.head_dim)
+    k, v = kv[..., 0, :], kv[..., 1, :]
     scores = jnp.einsum(
         "dtqhe,dkhe->dthqk", q, k, preferred_element_type=jnp.float32
     ) * spec.scale

@@ -41,14 +41,17 @@ def sinusoidal_position_encoding(d_model: int, length: int) -> np.ndarray:
     return pe
 
 
-def _constant_context_bias(cross_p: Params, ctx_vec: jax.Array, compute_dtype) -> jax.Array:
+def _constant_context_bias(
+    cross_p: Params, ctx_vec: jax.Array, spec: AttnSpec, compute_dtype
+) -> jax.Array:
     """Cross-attention against positionally-constant keys, in closed form.
 
     With every key/value equal to ``ctx_vec``, softmax weights sum to 1 and the
     attention output is exactly ``out_proj(v_proj(ctx_vec))`` for every query.
     """
-    kv = core.linear(cross_p["wkv"], ctx_vec, compute_dtype)  # [B, 2E]
-    _, v = jnp.split(kv, 2, axis=-1)
+    kv = core.linear(cross_p["wkv"], ctx_vec, compute_dtype)  # [B, H*2*D]
+    _, v = core.split_packed_heads(kv, 2, spec.num_heads, spec.head_dim)
+    v = v.reshape(*v.shape[:-2], spec.num_heads * spec.head_dim)
     return core.linear(cross_p["out"], v, compute_dtype)      # [B, E]
 
 
@@ -72,23 +75,42 @@ def encode_windows(
         pe = jnp.asarray(sinusoidal_position_encoding(cfg.embedding_dim, length))
         x = x + pe.astype(compute_dtype)
 
-    ctx_vec = params["context_embedding"][context].astype(compute_dtype)  # [N, E]
+    if cfg.use_context:
+        ctx_vec = params["context_embedding"][context].astype(compute_dtype)  # [N, E]
 
-    def layer_body(x, layer_p):
-        res_long = x
-        h = core.self_attention_block(
-            layer_p["mixer"], core.layer_norm(layer_p["norm1"], x),
-            tok_len, slopes, spec, compute_dtype,
-        )
-        h = h + x
-        ctx_bias = _constant_context_bias(layer_p["cross"], ctx_vec, compute_dtype)
-        h2 = ctx_bias[:, None, :] + h  # cross-attn output + residual
-        out = core.geglu_ffn(layer_p, core.layer_norm(layer_p["norm3"], h2), compute_dtype)
-        return out + res_long, None
+        def layer_body(x, layer_p):
+            res_long = x
+            h = core.self_attention_block(
+                layer_p["mixer"], core.layer_norm(layer_p["norm1"], x),
+                tok_len, slopes, spec, compute_dtype,
+            )
+            h = h + x
+            ctx_bias = _constant_context_bias(
+                layer_p["cross"], ctx_vec, spec, compute_dtype
+            )
+            h2 = ctx_bias[:, None, :] + h  # cross-attn output + residual
+            out = core.geglu_ffn(
+                layer_p, core.layer_norm(layer_p["norm3"], h2), compute_dtype
+            )
+            return out + res_long, None
 
-    # norm2 is applied to h before cross-attn in the reference; but the
-    # closed-form context bias does not depend on the queries at all, so
-    # norm2(h) never influences the output and is elided here.
+        # norm2 is applied to h before cross-attn in the reference; but the
+        # closed-form context bias does not depend on the queries at all, so
+        # norm2(h) never influences the output and is elided here.
+    else:
+        # Plain FlashTransformerLayer topology (reference seq2reg/modules.py:
+        # 129-191): self-attention + GeGLU, both residuals from the input.
+        def layer_body(x, layer_p):
+            h = core.self_attention_block(
+                layer_p["mixer"], core.layer_norm(layer_p["norm1"], x),
+                tok_len, slopes, spec, compute_dtype,
+            )
+            h = h + x
+            out = core.geglu_ffn(
+                layer_p, core.layer_norm(layer_p["norm2"], h), compute_dtype
+            )
+            return out + x, None
+
     x, _ = jax.lax.scan(layer_body, x, params["layers"])
 
     valid = (jnp.arange(length)[None, :] < tok_len[:, None])  # [N, L]

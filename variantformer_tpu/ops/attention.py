@@ -56,15 +56,13 @@ def _attend(
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def self_attention(qkv, kv_len, slopes, scale):
-    """qkv: [B, S, 3, H, D] packed projection output."""
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+def self_attention(q, k, v, kv_len, slopes, scale):
+    """q/k/v: [B, S, H, D]."""
     return _attend(q, k, v, kv_len, slopes, scale)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def cross_attention(q, kv, q_len, kv_len, scale):
-    """q: [B, Sq, H, D]; kv: [B, Sk, 2, H, D]. q_len unused (suffix garbage ok)."""
+def cross_attention(q, k, v, q_len, kv_len, scale):
+    """q: [B, Sq, H, D]; k/v: [B, Sk, H, D]. q_len unused (suffix garbage ok)."""
     del q_len
-    k, v = kv[:, :, 0], kv[:, :, 1]
     return _attend(q, k, v, kv_len, None, scale)

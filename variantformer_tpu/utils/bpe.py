@@ -1,0 +1,213 @@
+"""DNA BPE tokenizer over the released 500-token vocabulary.
+
+Replaces the reference's Rust ``tokenizers`` dependency (N2 in SURVEY.md §2.2)
+with an in-repo implementation (this pure-Python/heap version, and a C++
+engine in native/ once built — same algorithm, same outputs).
+
+Semantics match the reference wrapper (/root/reference/utils/seq.py:8-174):
+  * ``normalize``: uppercase, split into subsequences at any non-IUPAC
+    character (N runs and gaps are hard token boundaries),
+  * BPE merges applied in rank order (lowest-rank pair first, all
+    occurrences left-to-right), the standard HuggingFace BPE algorithm,
+  * ``encode([fwd, rev])`` tokenizes both strands independently,
+  * ``encode_with_position`` maps a 0-based coordinate in the *raw* sequence
+    to the global index of the BPE token covering it (used to locate variant
+    tokens for VEP).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+from typing import Iterable
+
+from variantformer_tpu.utils.constants import IUPAC_CODES, SPECIAL_TOKENS
+
+_IUPAC_SET = frozenset(IUPAC_CODES)
+
+
+class BPETokenizer:
+    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]]):
+        self.vocab = dict(vocab)
+        self.id_to_token = {i: t for t, i in self.vocab.items()}
+        self.merge_ranks = {tuple(m): r for r, m in enumerate(merges)}
+        self.pad_token_id = self.vocab.get(SPECIAL_TOKENS["pad_token"], 0)
+
+    # -- loading ----------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str) -> "BPETokenizer":
+        """Load a HuggingFace tokenizers JSON file (BPE model)."""
+        with open(path) as fh:
+            data = json.load(fh)
+        model = data["model"]
+        merges = [
+            tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
+            for m in model["merges"]
+        ]
+        return cls(model["vocab"], merges)
+
+    # -- core BPE ---------------------------------------------------------
+    def _encode_word(self, word: str) -> tuple[list[int], list[tuple[int, int]]]:
+        """BPE-encode one subsequence; returns (ids, char offsets)."""
+        n = len(word)
+        if n == 0:
+            return [], []
+        if n == 1:
+            return [self.vocab[word]], [(0, 1)]
+        # Doubly-linked list over symbols with a lazy heap of merge candidates.
+        sym = list(word)                  # symbol strings (None = merged away)
+        start = list(range(n))            # char start per node
+        end = [i + 1 for i in range(n)]   # char end per node
+        prev = [i - 1 for i in range(n)]
+        nxt = [i + 1 for i in range(n)]
+        nxt[-1] = -1
+        alive = [True] * n
+
+        ranks = self.merge_ranks
+        heap: list[tuple[int, int, str, str]] = []
+        for i in range(n - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None:
+                heap.append((r, i, sym[i], sym[i + 1]))
+        heapq.heapify(heap)
+
+        while heap:
+            r, i, left, right = heapq.heappop(heap)
+            if not alive[i] or sym[i] != left:
+                continue
+            j = nxt[i]
+            if j == -1 or sym[j] != right:
+                continue
+            # merge node j into node i
+            sym[i] = left + right
+            end[i] = end[j]
+            alive[j] = False
+            k = nxt[j]
+            nxt[i] = k
+            if k != -1:
+                prev[k] = i
+                nr = ranks.get((sym[i], sym[k]))
+                if nr is not None:
+                    heapq.heappush(heap, (nr, i, sym[i], sym[k]))
+            p = prev[i]
+            if p != -1:
+                nr = ranks.get((sym[p], sym[i]))
+                if nr is not None:
+                    heapq.heappush(heap, (nr, p, sym[p], sym[i]))
+
+        ids: list[int] = []
+        offsets: list[tuple[int, int]] = []
+        i = 0
+        while i != -1:
+            if alive[i]:
+                ids.append(self.vocab[sym[i]])
+                offsets.append((start[i], end[i]))
+            i = nxt[i]
+        return ids, offsets
+
+    # -- reference-compatible API ----------------------------------------
+    @staticmethod
+    def normalize(sequences: Iterable[str]) -> list[str]:
+        """Uppercase and split each sequence at non-IUPAC characters."""
+        out: list[str] = []
+        for seq in sequences:
+            seq = seq.upper()
+            current: list[str] = []
+            for ch in seq:
+                if ch in _IUPAC_SET:
+                    current.append(ch)
+                elif current:
+                    out.append("".join(current))
+                    current = []
+            if current:
+                out.append("".join(current))
+        return out
+
+    def encode_strand(self, subsequences: list[str]) -> tuple[list[int], list[str]]:
+        ids: list[int] = []
+        tokens: list[str] = []
+        for sub in subsequences:
+            sub_ids, offs = self._encode_word(sub)
+            ids.extend(sub_ids)
+            tokens.extend(sub[s:e] for s, e in offs)
+        return ids, tokens
+
+    def encode(self, sequences) -> tuple[list[int], list[str], list[int], list[str]]:
+        """encode([fwd, rev]) -> (fwd ids, fwd tokens, rev ids, rev tokens)."""
+        if isinstance(sequences, str):
+            sequences = sequences.split(",")
+        ids_f, tok_f = self.encode_strand(self.normalize([sequences[0]]))
+        ids_r, tok_r = self.encode_strand(self.normalize([sequences[1]]))
+        return ids_f, tok_f, ids_r, tok_r
+
+    def decode(self, ids: Iterable[int]) -> str:
+        return "".join(self.id_to_token[i] for i in ids if i > 3)
+
+    def encode_with_position(self, sequence: str, position: int) -> dict:
+        """Encode and locate the token covering ``position`` (raw coordinate).
+
+        Same contract as the reference (utils/seq.py:68-174): non-IUPAC chars
+        before the position shift it left; the returned position_id is global
+        across all subsequences.
+        """
+        if position < 0 or position >= len(sequence):
+            raise ValueError(
+                f"Position {position} out of range for length {len(sequence)}"
+            )
+        sequence = sequence.upper()
+        if sequence[position] not in _IUPAC_SET:
+            raise ValueError(
+                f"Position {position} points to invalid character "
+                f"'{sequence[position]}'"
+            )
+        invalid_before = sum(
+            1 for i in range(position) if sequence[i] not in _IUPAC_SET
+        )
+        adjusted = position - invalid_before
+
+        subsequences = self.normalize([sequence])
+        all_ids: list[int] = []
+        all_tokens: list[str] = []
+        pos_in_norm = 0
+        global_token_offset = 0
+        result = None
+        for sub in subsequences:
+            ids, offs = self._encode_word(sub)
+            all_ids.extend(ids)
+            all_tokens.extend(sub[s:e] for s, e in offs)
+            sub_start, sub_end = pos_in_norm, pos_in_norm + len(sub)
+            if result is None and sub_start <= adjusted < sub_end:
+                pos_in_sub = adjusted - sub_start
+                token_idx = next(
+                    i for i, (s, e) in enumerate(offs) if s <= pos_in_sub < e
+                )
+                result = {
+                    "offsets": offs,
+                    "position_id": global_token_offset + token_idx,
+                    "position_token": sub[offs[token_idx][0]:offs[token_idx][1]],
+                    "target_subsequence": sub,
+                }
+            global_token_offset += len(ids)
+            pos_in_norm = sub_end
+        if result is None:
+            raise ValueError(f"Could not locate adjusted position {adjusted}")
+        result["encoded_ids"] = all_ids
+        result["all_tokens"] = all_tokens
+        return result
+
+
+_DEFAULT: BPETokenizer | None = None
+
+
+def default_tokenizer(vocab_path: str | None = None) -> BPETokenizer:
+    """Load (and cache) the framework's default 500-token DNA vocabulary."""
+    global _DEFAULT
+    if _DEFAULT is None or vocab_path is not None:
+        from variantformer_tpu.utils.assets import resolve_vocab_path
+
+        path = vocab_path or resolve_vocab_path("bpe_vocabulary_500.json")
+        tok = BPETokenizer.from_file(path)
+        if vocab_path is None:
+            _DEFAULT = tok
+        return tok
+    return _DEFAULT
