@@ -1,0 +1,77 @@
+"""Benchmark: vcf2exp model throughput, genes/sec/chip at 54 tissues.
+
+Runs the full-size flagship model (1536-d, 25 interleaved layers, 63-way
+tissue heads) on one chip with a realistic single-gene workload: 384 CRE
+windows + 200 gene windows x 200 BPE tokens, fanned out across 54 tissues —
+the shape of the reference's headline "one gene, all tissues in ~3-4 min on
+H100" configuration (BASELINE.md). Prints ONE JSON line.
+
+baseline: 1 gene / 210 s on H100 (reference notebooks/README.md:17).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from variantformer_tpu.config import ModelConfig
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+
+    impl = os.environ.get("VFX_BENCH_IMPL", "xla")
+    cfg = ModelConfig()
+    params = init_seq2gene(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    batch = _example_batch(
+        d=1, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
+        t=54, vocab=cfg.window_encoder.vocab_size,
+    )
+
+    fn = jax.jit(lambda p, b: seq2gene_forward(p, b, cfg, impl=impl).pred_expression)
+    out = jax.block_until_ready(fn(params, batch))  # compile + warm
+    assert out.shape == (1, 54)
+
+    # Sync via host transfer every iteration: block_until_ready is unreliable
+    # under the axon relay (returns before execution completes), which makes
+    # async timing loops report fantasy numbers.
+    import numpy as np
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, batch))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+
+    genes_per_sec = 1.0 / dt
+    baseline = 1.0 / 210.0  # H100 end-to-end, 1 gene x all tissues
+    print(
+        json.dumps(
+            {
+                "metric": "genes_per_sec_per_chip_vcf2exp_54tissues",
+                "value": round(genes_per_sec, 4),
+                "unit": "genes/s",
+                "vs_baseline": round(genes_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

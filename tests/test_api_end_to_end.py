@@ -1,0 +1,232 @@
+"""End-to-end API tests on a synthetic genome: vcf2exp and VEP paths.
+
+Builds a tiny FASTA + VCF + gencode + CRE map fixture set and drives the
+public processors with a tiny random model — the full pipeline from raw
+files to expression predictions, with variant-effect invariants:
+  * a het variant inside a CRE changes predictions vs the reference genome,
+  * ref-zygosity predictions equal the no-VCF vcf2exp predictions,
+  * minus-strand genes run the reverse-complement path.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from variantformer_tpu.api.vcfprocessor import DataSources, VCFProcessor
+from variantformer_tpu.api.variantprocessor import VariantProcessor
+from variantformer_tpu.config import (
+    DatasetConfig,
+    ModelConfig,
+    Seq2GeneConfig,
+    WindowEncoderConfig,
+)
+from variantformer_tpu.models.init import init_seq2gene
+from variantformer_tpu.utils.bgzf import write_bgzf
+
+
+def _tiny_cfg(vocab_size: int) -> ModelConfig:
+    return ModelConfig(
+        window_encoder=WindowEncoderConfig(
+            vocab_size=vocab_size, embedding_dim=16, num_heads=2, num_layers=2,
+            ffn_hidden_dim=32, token_length=16,
+        ),
+        seq2gene=Seq2GeneConfig(
+            emb_dim=24, gene_emb_dim=16, token_dim=16, num_heads=4,
+            num_layers=2, ffn_hidden_dim=48,
+        ),
+        dataset=DatasetConfig(
+            max_length=16, max_chunks=8, cre_neighbour_hood=5,
+            gene_upstream_neighbour_hood=20, gene_downstream_neighbour_hood=400,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("genome")
+    rng = np.random.default_rng(0)
+    chr_len = 3000
+    seq = "".join(rng.choice(list("ACGT"), chr_len))
+    fasta = root / "genome.fa"
+    with open(fasta, "w") as fh:
+        fh.write(">chr1 synthetic\n")
+        for i in range(0, chr_len, 60):
+            fh.write(seq[i : i + 60] + "\n")
+
+    gencode = root / "gencode.csv"
+    pd.DataFrame(
+        [
+            {"gene_id": "GENEPLUS.1", "gene_name": "PLUS", "chromosome": "chr1",
+             "start": 500, "end": 1400, "strand": "+"},
+            {"gene_id": "GENEMINUS.1", "gene_name": "MINUS", "chromosome": "chr1",
+             "start": 1600, "end": 2500, "strand": "-"},
+        ]
+    ).to_csv(gencode, index=False)
+
+    cre_maps = {
+        "GENEPLUS.1": pd.DataFrame(
+            [
+                {"chromosome": "chr1", "start_cre": 100, "end_cre": 160,
+                 "cre_name": "PLS"},
+                {"chromosome": "chr1", "start_cre": 300, "end_cre": 380,
+                 "cre_name": "dELS"},
+                {"chromosome": "chr1", "start_cre": 700, "end_cre": 760,
+                 "cre_name": "pELS"},
+            ]
+        ),
+        "GENEMINUS.1": pd.DataFrame(
+            [
+                {"chromosome": "chr1", "start_cre": 1700, "end_cre": 1780,
+                 "cre_name": "PLS,CTCF-bound"},
+                {"chromosome": "chr1", "start_cre": 2600, "end_cre": 2660,
+                 "cre_name": "dELS"},
+            ]
+        ),
+    }
+
+    # VCF: het SNP inside GENEPLUS's second CRE (+ gene body), hom SNP
+    # upstream of nothing (outside all regions).
+    def base_at(i):
+        return seq[i]
+
+    pos_in_cre = 321  # 1-based; inside CRE [300,380) and not the ref base
+    ref1 = base_at(pos_in_cre - 1)
+    alt1 = {"A": "G", "C": "T", "G": "A", "T": "C"}[ref1]
+    pos_in_gene = 901
+    ref2 = base_at(pos_in_gene - 1)
+    alt2 = {"A": "C", "C": "A", "G": "T", "T": "G"}[ref2]
+    vcf_lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+        f"chr1\t{pos_in_cre}\t.\t{ref1}\t{alt1}\t.\tPASS\t.\tGT\t0|1",
+        f"chr1\t{pos_in_gene}\t.\t{ref2}\t{alt2}\t.\tPASS\t.\tGT\t1|1",
+    ]
+    vcf = root / "donor.vcf.gz"
+    write_bgzf(str(vcf), ("\n".join(vcf_lines) + "\n").encode())
+
+    # vocab: derive from the real 500-token file if present, else synth small
+    from variantformer_tpu.utils.assets import resolve_vocab_path
+
+    vocab_path = resolve_vocab_path("bpe_vocabulary_500.json")
+    tissue_vocab = root / "tissues.yaml"
+    tissue_vocab.write_text(
+        "".join(f"tissue{i}: {i}\n" for i in range(8))
+    )
+    sources = DataSources(
+        fasta_path=str(fasta),
+        gencode_path=str(gencode),
+        bpe_vocab_path=vocab_path,
+        tissue_vocab_path=str(tissue_vocab),
+        cre_map_provider=lambda g: cre_maps[g],
+    )
+    return {
+        "sources": sources,
+        "vcf": str(vcf),
+        "root": root,
+        "variant": ("chr1", pos_in_cre, ref1, alt1),
+        "seq": seq,
+    }
+
+
+@pytest.fixture(scope="module")
+def processor(fixture_env):
+    cfg = _tiny_cfg(vocab_size=500)
+    proc = VCFProcessor(sources=fixture_env["sources"], config=cfg)
+    params = init_seq2gene(jax.random.key(0), cfg)
+    proc.set_params(params)
+    return proc
+
+
+def test_vcf2exp_end_to_end(processor, fixture_env):
+    query = pd.DataFrame(
+        {
+            "gene_id": ["GENEPLUS.1", "GENEMINUS.1"],
+            "tissues": ["tissue0,tissue3", "tissue0,tissue3"],
+        }
+    )
+    out = processor.predict(fixture_env["vcf"], query)
+    assert len(out) == 2
+    for pred, emb in zip(out["predicted_expression"], out["embeddings"]):
+        assert pred.shape == (2,)
+        assert emb.shape == (2, 24)
+        assert np.all(np.isfinite(pred))
+        assert np.all(pred >= 0)
+
+
+def test_variant_changes_prediction(processor, fixture_env):
+    query = pd.DataFrame({"gene_id": ["GENEPLUS.1"], "tissues": ["tissue1"]})
+    with_vcf = processor.predict(fixture_env["vcf"], query)
+    without = processor.predict(None, query)
+    assert not np.allclose(
+        with_vcf["predicted_expression"][0], without["predicted_expression"][0]
+    ), "a variant inside a CRE must change the prediction"
+
+
+def test_unknown_gene_and_tissue_filtered(processor):
+    query = pd.DataFrame(
+        {
+            "gene_id": ["GENEPLUS.1", "NOPE.1"],
+            "tissues": ["tissue0,badtissue", "tissue0"],
+        }
+    )
+    validated = processor.validate_query(query)
+    assert len(validated) == 1
+    assert validated.iloc[0]["tissues"] == [0]
+
+
+def test_create_vcf_from_variant(processor, fixture_env, tmp_path):
+    seq = fixture_env["seq"]
+    variant_df = pd.DataFrame(
+        {"chrom": ["chr1"], "pos": [50], "ref": [seq[49]],
+         "alt": ["A" if seq[49] != "A" else "C"], "GT": ["0|1"]}
+    )
+    out_path = processor.create_vcf_from_variant(
+        variant_df, str(tmp_path / "new.vcf.gz")
+    )
+    from variantformer_tpu.utils.vcf import VCFReader
+
+    reader = VCFReader(out_path)
+    assert len(reader.query("chr1", 0, 100)) == 1
+    # reference mismatch must raise
+    bad = variant_df.assign(ref=["N"])
+    with pytest.raises(ValueError, match="Reference mismatch"):
+        processor.create_vcf_from_variant(bad, str(tmp_path / "bad.vcf.gz"))
+
+
+def test_vep_end_to_end(fixture_env, tmp_path):
+    cfg = _tiny_cfg(vocab_size=500)
+    vp = VariantProcessor(sources=fixture_env["sources"], config=cfg)
+    params = init_seq2gene(jax.random.key(1), cfg)
+    vp.set_params(params)
+    chrom, pos, ref, alt = fixture_env["variant"]
+    var_df = pd.DataFrame(
+        {
+            "chrom": [chrom], "pos": [pos], "ref": [ref], "alt": [alt],
+            "tissue": ["tissue0,tissue2"],
+        }
+    )
+    df = vp.predict(
+        var_df, str(tmp_path / "vep_out"),
+        vcf_path=fixture_env["vcf"], sample_name="S1",
+    )
+    # long frame: populations SAMPLE + REF_HG38, zygosity 0/1/2, 2 tissues,
+    # genes within 1Mb (both synthetic genes)
+    assert set(df["population"]) == {"SAMPLE", "REF_HG38"}
+    assert set(df["zygosity"]) == {"0", "1", "2"}
+    sub = df[(df["population"] == "REF_HG38") & (df["genes"] == "GENEPLUS.1")]
+    by_zyg = {z: g["gene_exp"].to_numpy() for z, g in sub.groupby("zygosity")}
+    # hom vs ref must differ: the variant is inside a CRE of GENEPLUS
+    assert not np.allclose(by_zyg["0"], by_zyg["2"])
+
+    scores = vp.format_scores(df)
+    assert "REF_HG38-0-exp" in scores.columns
+    assert "SAMPLE-2-exp" in scores.columns
+    eqtl = vp.eqtl_scores(scores)
+    assert any(c.endswith("-log2fc") for c in eqtl.columns)
+    ref0 = scores["REF_HG38-0-exp"].to_numpy()
+    hom = scores["REF_HG38-2-exp"].to_numpy()
+    expected = np.log2((hom + 1e-10) / (ref0 + 1e-10))
+    got = eqtl["VF-REF_HG38-2-exp-log2fc"].to_numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-3)

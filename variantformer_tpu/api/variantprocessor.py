@@ -1,0 +1,280 @@
+"""VariantProcessor — the variant2exp / VEP / eQTL public API.
+
+Mirrors the reference surface (/root/reference/processors/variantprocessor.py):
+variants x probable genes are scored as ref/het/hom triples per population,
+compiled to the long dataframe schema (chrom/pos/.../zygosity/gene_exp/
+gene_emb/gene_token_embedding/cre_token_embedding), pivoted to
+``{POP}-{zygosity}-exp`` columns, and reduced to log2fc + AF-weighted eQTL
+scores. Population-contextual scoring (6 populations from precomputed
+sequences) requires the reference's S3 artifacts; the VCF-backed SAMPLE +
+REF_HG38 path runs fully locally.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+
+from variantformer_tpu.api.vcfprocessor import DataSources, VCFProcessor
+from variantformer_tpu.data.pipeline import GeneSampleBuilder, pack_samples
+from variantformer_tpu.data.vep import (
+    Variant,
+    VepSampleBuilder,
+    get_probable_genes,
+)
+from variantformer_tpu.models.seq2gene import seq2gene_forward
+from variantformer_tpu.utils.fasta import FastaReader
+from variantformer_tpu.utils.scoring import generate_log2fc_score
+from variantformer_tpu.utils.vcf import VCFReader
+
+log = logging.getLogger(__name__)
+
+POPULATIONS = ("REF_HG38", "EAS", "EUR", "AFR", "SAS", "AMR")
+
+
+class VariantProcessor:
+    def __init__(
+        self,
+        model_class: str = "v4_pcg",
+        sources: DataSources | None = None,
+        config=None,
+        impl: str = "xla",
+    ):
+        # Reuse VCFProcessor for config/vocab/model plumbing.
+        self._vp = VCFProcessor(
+            model_class=model_class, sources=sources, config=config, impl=impl
+        )
+        self.sources = self._vp.sources
+        self.tissue_vocab = self._vp.tissue_vocab
+        self.tissue_idx_to_name = {v: k for k, v in self.tissue_vocab.items()}
+        self.gene_variant_pairs: list[dict] = []
+
+    @property
+    def config(self):
+        return self._vp.config
+
+    def load_model(self, **kw):
+        return self._vp.load_model(**kw)
+
+    def set_params(self, params, config=None):
+        self._vp.set_params(params, config)
+
+    # -- variant loading ----------------------------------------------------
+    def load_variants(self, var_df: pd.DataFrame) -> list[Variant]:
+        df = var_df.rename(columns={"chr": "chrom"})
+        for col in ("chrom", "pos", "ref", "alt", "tissue"):
+            if col not in df.columns:
+                raise ValueError(f"Column {col} missing from variant dataframe")
+        df = df.sort_values(["chrom", "pos"]).reset_index(drop=True)
+        variants = []
+        for _, row in df.iterrows():
+            tissues = [self.tissue_vocab[t] for t in str(row["tissue"]).split(",")]
+            genes = (
+                [g.split(".")[0] for g in str(row["gene_id"]).split(",")]
+                if "gene_id" in row and pd.notna(row.get("gene_id"))
+                else []
+            )
+            variants.append(
+                Variant(
+                    chrom=str(row["chrom"]), pos=int(row["pos"]),
+                    ref=str(row["ref"]), alt=str(row["alt"]),
+                    tissue=tissues, gene_id=genes,
+                    consequence=row.get("consequence", "NA"),
+                    label=row.get("label", "NA"),
+                )
+            )
+        return variants
+
+    def _pairs(self, variants, vcf_path, sample_name):
+        gencode = self._vp.get_genes()
+        pairs = []
+        mapped = 0
+        for variant in variants:
+            probable = get_probable_genes(gencode, variant)
+            if variant.gene_id:
+                probable = [
+                    g for g in probable
+                    if g["gene_id"].split(".")[0] in variant.gene_id
+                ]
+            if probable:
+                mapped += 1
+            for gene in probable:
+                if vcf_path is not None and sample_name is not None:
+                    pairs.append(
+                        dict(variant=variant, gene=gene, population="SAMPLE",
+                             sample_name=sample_name, vcf_path=vcf_path)
+                    )
+                    pairs.append(
+                        dict(variant=variant, gene=gene, population="REF_HG38",
+                             sample_name="hg38", vcf_path=None)
+                    )
+                else:
+                    for pop in POPULATIONS:
+                        pairs.append(
+                            dict(variant=variant, gene=gene, population=pop,
+                                 sample_name=pop, vcf_path=None)
+                        )
+        if mapped == 0:
+            raise ValueError("No gene-variant pairs found")
+        log.info("Mapped %d variants to genes (%d pairs)", mapped, len(pairs))
+        return pairs
+
+    # -- prediction ---------------------------------------------------------
+    def _vep_builder(self, vcf_path: str | None) -> VepSampleBuilder:
+        base = GeneSampleBuilder(
+            cfg=self.config.dataset,
+            fasta=FastaReader(self.sources.fasta_path),
+            tokenizer=self._vp.tokenizer,
+            gencode=self._vp.get_genes(),
+            cre_map_provider=(
+                self.sources.cre_map_provider
+                or self.sources.default_cre_map_provider()
+            ),
+            vcf=VCFReader(vcf_path) if vcf_path else None,
+            snps_only=True,
+        )
+        return VepSampleBuilder(base)
+
+    def _forward_triple(self, sample, tissues):
+        """Run the ref/het/hom triple through the model with positions."""
+        import jax.numpy as jnp
+
+        batch = pack_samples(sample.samples, tissues)
+        ctp = sample.cre_token_position
+        gtp = sample.gene_token_positions
+        batch = batch._replace(
+            cre_token_position=(
+                None if np.isnan(ctp) else jnp.full((3,), int(ctp), jnp.int32)
+            ),
+            gene_token_position=(
+                None
+                if any(np.isnan(g) for g in gtp)
+                else jnp.asarray([int(g) for g in gtp], jnp.int32)
+            ),
+        )
+        out = self._vp._forward(batch)
+        return out
+
+    def predict(
+        self,
+        var_df: pd.DataFrame,
+        output_dir: str,
+        vcf_path: str | None = None,
+        sample_name: str | None = None,
+    ) -> pd.DataFrame:
+        assert self._vp._params is not None, "call load_model()/set_params() first"
+        Path(output_dir).mkdir(parents=True, exist_ok=True)
+        variants = self.load_variants(var_df)
+        self.gene_variant_pairs = self._pairs(variants, vcf_path, sample_name)
+
+        builders: dict[str | None, VepSampleBuilder] = {}
+        predictions = []
+        for pair in self.gene_variant_pairs:
+            pvcf = pair["vcf_path"]
+            if pvcf not in builders:
+                builders[pvcf] = self._vep_builder(pvcf)
+            sample = builders[pvcf].build(
+                pair["variant"], pair["gene"],
+                validate_ref=(pair["sample_name"] == "hg38"),
+            )
+            if not sample.samples:
+                predictions.append(
+                    dict(variant_type=sample.variant_type, out=None)
+                )
+                continue
+            out = self._forward_triple(sample, pair["variant"].tissue)
+            predictions.append(dict(variant_type=sample.variant_type, out=out))
+
+        df = self.compile_predictions(predictions, output_dir, vcf_path=vcf_path)
+        return df
+
+    # -- output assembly ----------------------------------------------------
+    def compile_predictions(
+        self, predictions: list[dict], output_dir: str, vcf_path=None
+    ) -> pd.DataFrame:
+        emb_dim = self.config.seq2gene.emb_dim
+        rows = {
+            k: []
+            for k in (
+                "chrom", "pos", "ref", "alt", "genes", "tissues", "variant_type",
+                "population", "sample_name", "zygosity", "gene_exp", "gene_emb",
+                "gene_token_embedding", "cre_token_embedding",
+            )
+        }
+        for pair, pred in zip(self.gene_variant_pairs, predictions):
+            variant, gene = pair["variant"], pair["gene"]
+            out = pred["out"]
+            nt = len(variant.tissue)
+            if out is None:
+                exp = np.full((3, nt), np.nan, np.float32)
+                emb = gte = cte = np.full((3, nt, emb_dim), np.nan, np.float32)
+            else:
+                exp = np.asarray(out.pred_expression)          # [3, T]
+                emb = np.asarray(out.pooled_embedding)         # [3, T, E]
+                gte = np.asarray(out.gene_token_embedding)
+                cte = np.asarray(out.cre_token_embedding)
+            for t_idx, tissue in enumerate(variant.tissue):
+                # zygosity 2=hom (row 2), 1=het (row 1), 0=ref (row 0)
+                for zyg, row_i in (("2", 2), ("1", 1), ("0", 0)):
+                    rows["chrom"].append(variant.chrom)
+                    rows["pos"].append(variant.pos)
+                    rows["ref"].append(variant.ref)
+                    rows["alt"].append(variant.alt)
+                    rows["genes"].append(gene["gene_id"])
+                    rows["tissues"].append(self.tissue_idx_to_name[tissue])
+                    rows["variant_type"].append(pred["variant_type"])
+                    rows["population"].append(pair["population"])
+                    rows["sample_name"].append(pair["sample_name"])
+                    rows["zygosity"].append(zyg)
+                    rows["gene_exp"].append(exp[row_i, t_idx])
+                    rows["gene_emb"].append(emb[row_i, t_idx])
+                    rows["gene_token_embedding"].append(gte[row_i, t_idx])
+                    rows["cre_token_embedding"].append(cte[row_i, t_idx])
+        df = pd.DataFrame(rows)
+        if vcf_path is None:
+            df = df[
+                (df["zygosity"] != "0")
+                | ((df["zygosity"] == "0") & (df["population"] == "REF_HG38"))
+            ].reset_index(drop=True)
+        out_file = os.path.join(output_dir, "vep_VF.parquet")
+        try:
+            df.to_parquet(out_file)
+            log.info("Predictions saved to %s", out_file)
+        except Exception as exc:  # embeddings as object arrays can trip parquet
+            log.warning("Could not write parquet (%s)", exc)
+        return df
+
+    def format_scores(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Pivot the long frame to {POP}-{zygosity}-exp columns."""
+        df = df.copy()
+        df["variant_id"] = (
+            df[["chrom", "pos", "ref", "alt"]].astype(str).agg("_".join, axis=1)
+        )
+        df["gt-exp"] = df["population"] + "-" + df["zygosity"] + "-exp"
+        df = df.rename(columns={"chrom": "chr"})
+        df_exp = (
+            df[
+                ["variant_id", "genes", "tissues", "variant_type", "gt-exp",
+                 "gene_exp", "chr", "pos", "ref", "alt"]
+            ]
+            .drop_duplicates(
+                subset=["variant_id", "genes", "tissues", "variant_type", "gt-exp"],
+                keep="first",
+            )
+            .pivot(
+                index=["variant_id", "genes", "tissues", "chr", "pos", "ref",
+                       "alt", "variant_type"],
+                columns="gt-exp",
+                values="gene_exp",
+            )
+            .reset_index()
+        )
+        return df_exp.dropna(subset=["REF_HG38-0-exp"]).reset_index(drop=True)
+
+    def eqtl_scores(self, df: pd.DataFrame) -> pd.DataFrame:
+        return generate_log2fc_score(df, self.sources.af_path)

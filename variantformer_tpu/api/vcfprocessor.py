@@ -1,0 +1,275 @@
+"""VCFProcessor — the vcf2exp public API.
+
+Mirrors the reference's surface (/root/reference/processors/vcfprocessor.py):
+the same query-df schema (gene_id, tissues) and output columns
+(predicted_expression, embeddings), with the torch/Lightning/bcftools stack
+replaced by the in-process sequence engine and jitted JAX forward.
+
+Data sources are explicit and overridable (DataSources) so the processor runs
+against local fixtures as well as the reference's S3 artifact layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+import yaml
+
+from variantformer_tpu.config import ModelConfig, load_model_config
+from variantformer_tpu.data.pipeline import GeneSampleBuilder, pack_samples
+from variantformer_tpu.models.seq2gene import seq2gene_forward
+from variantformer_tpu.utils import assets
+from variantformer_tpu.utils.bgzf import write_bgzf
+from variantformer_tpu.utils.bpe import BPETokenizer
+from variantformer_tpu.utils.fasta import FastaReader
+from variantformer_tpu.utils.vcf import VCFReader
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DataSources:
+    fasta_path: str = ""
+    gencode_path: str = ""
+    bpe_vocab_path: str | None = None
+    tissue_vocab_path: str | None = None
+    checkpoint_path: str = ""
+    tokenizer_checkpoint_path: str | None = None
+    af_path: str | None = None
+    cre_map_provider: object | None = None  # gene_id -> DataFrame
+
+    def resolve_defaults(self):
+        if self.bpe_vocab_path is None:
+            self.bpe_vocab_path = assets.resolve_vocab_path("bpe_vocabulary_500.json")
+        if self.tissue_vocab_path is None:
+            self.tissue_vocab_path = assets.resolve_vocab_path("tissue_vocab.yaml")
+        return self
+
+    def default_cre_map_provider(self):
+        """Per-gene CRE map CSVs via the reference's S3 manifest."""
+        manifest = assets.gene_cre_manifest()
+
+        def provider(gene_id: str) -> pd.DataFrame:
+            path = manifest.get_file_path(gene_id)
+            if path is None:
+                raise KeyError(f"No CRE map for gene {gene_id}")
+            df = pd.read_csv(path)
+            return df[["chromosome", "start_cre", "end_cre", "cre_name"]]
+
+        return provider
+
+
+class VCFProcessor:
+    def __init__(
+        self,
+        model_class: str = "v4_pcg",
+        sources: DataSources | None = None,
+        config: ModelConfig | None = None,
+        config_path: str | None = None,
+        impl: str = "xla",
+    ):
+        self.model_class = model_class
+        self.config = config or load_model_config(config_path, model_class)
+        self.sources = (sources or DataSources()).resolve_defaults()
+        self.impl = impl
+        with open(self.sources.tissue_vocab_path) as fh:
+            self.tissue_vocab: dict[str, int] = yaml.safe_load(fh)
+        self.tokenizer = BPETokenizer.from_file(self.sources.bpe_vocab_path)
+        self._gencode: pd.DataFrame | None = None
+        self._params = None
+        self._fwd_cache: dict = {}
+
+    # -- reference-compatible introspection --------------------------------
+    def get_tissues(self):
+        return self.tissue_vocab.keys()
+
+    def get_genes(self) -> pd.DataFrame:
+        return self._load_gencode()
+
+    def _load_gencode(self) -> pd.DataFrame:
+        if self._gencode is None:
+            self._gencode = pd.read_csv(self.sources.gencode_path)
+        return self._gencode
+
+    # -- VCF authoring ------------------------------------------------------
+    def create_vcf_from_variant(
+        self, variant_df: pd.DataFrame, output_path: str, vcf_path: str | None = None
+    ) -> str:
+        """Write (and optionally merge) a bgzip VCF from a variant dataframe.
+
+        Replaces the reference's bgzip/tabix/bcftools subprocess chain
+        (vcfprocessor.py:62-214): reference alleles are validated against the
+        FASTA, records are sorted and deduplicated in pandas, and the output
+        is written as BGZF. No tabix index is needed — the in-process VCF
+        reader builds its own positional index.
+        """
+        for col in ("chrom", "pos", "ref", "alt", "GT"):
+            assert col in variant_df.columns, f"{col} column is required"
+        if len(variant_df) == 0:
+            raise ValueError("variant_df is empty")
+        fasta = FastaReader(self.sources.fasta_path)
+        for _, row in variant_df.iterrows():
+            pos, ref = int(row["pos"]), str(row["ref"])
+            found = fasta.fetch(row["chrom"], pos - 1, pos - 1 + len(ref)).upper()
+            if found != ref.upper():
+                raise ValueError(
+                    f"Reference mismatch at {row['chrom']}:{pos}: "
+                    f"expected {ref!r} but found {found!r}"
+                )
+
+        records = []
+        sample_name = "SAMPLE"
+        if vcf_path is not None:
+            existing = VCFReader(vcf_path)
+            sample_name = existing.sample_names[0] if existing.sample_names else "SAMPLE"
+            for chrom, (positions, variants) in existing._by_chrom.items():
+                for pos, var in zip(positions, variants):
+                    a0, a1 = var.alleles
+                    alts = sorted({a for a in (a0, a1) if a != var.ref})
+                    gt0 = 0 if a0 == var.ref else alts.index(a0) + 1
+                    gt1 = 0 if a1 == var.ref else alts.index(a1) + 1
+                    records.append(
+                        (chrom, pos, var.ref, ",".join(alts), f"{gt0}|{gt1}")
+                    )
+        for _, row in variant_df.iterrows():
+            records.append(
+                (row["chrom"], int(row["pos"]), row["ref"], row["alt"], row["GT"])
+            )
+        df = pd.DataFrame(records, columns=["chrom", "pos", "ref", "alt", "gt"])
+        df = df.drop_duplicates(subset=["chrom", "pos"], keep="last")
+        df = df.sort_values(["chrom", "pos"])
+
+        lines = [
+            "##fileformat=VCFv4.2",
+            f"##reference={self.sources.fasta_path}",
+        ]
+        for chrom in sorted(df["chrom"].unique()):
+            lines.append(f"##contig=<ID={chrom}>")
+        lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+        lines.append(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample_name
+        )
+        for row in df.itertuples(index=False):
+            lines.append(
+                f"{row.chrom}\t{row.pos}\t.\t{row.ref}\t{row.alt}\t.\tPASS\t.\tGT\t{row.gt}"
+            )
+        final = output_path if output_path.endswith(".vcf.gz") else output_path + ".vcf.gz"
+        Path(final).parent.mkdir(parents=True, exist_ok=True)
+        write_bgzf(final, ("\n".join(lines) + "\n").encode())
+        log.info("Wrote VCF %s (%d records)", final, len(df))
+        return final
+
+    # -- query validation ---------------------------------------------------
+    def validate_query(self, query_df: pd.DataFrame) -> pd.DataFrame:
+        """Filter query rows to known genes/tissues (VCFDataset._check_filter_query_df)."""
+        gencode = self._load_gencode()
+        known_genes = set(gencode["gene_id"])
+        rows = []
+        for _, row in query_df.iterrows():
+            gene_id = row["gene_id"]
+            if gene_id not in known_genes:
+                log.warning("Gene %s not in gencode; skipping", gene_id)
+                continue
+            ids, names = [], []
+            for t in str(row["tissues"]).split(","):
+                if t in self.tissue_vocab:
+                    ids.append(self.tissue_vocab[t])
+                    names.append(t)
+                else:
+                    log.warning("Tissue %r not in vocab; skipping", t)
+            if not ids:
+                continue
+            rows.append({"gene_id": gene_id, "tissues": ids, "tissue_names": names})
+        if not rows:
+            raise ValueError("No valid (gene, tissue) rows in query")
+        return pd.DataFrame(rows)
+
+    # -- model --------------------------------------------------------------
+    def load_model(self, param_dtype=None):
+        from variantformer_tpu.api.model_manager import ModelManager
+
+        import jax.numpy as jnp
+
+        manager = ModelManager(
+            dataclasses.replace(
+                self.config, checkpoint_path=self.sources.checkpoint_path
+            ),
+            tokenizer_checkpoint_path=self.sources.tokenizer_checkpoint_path,
+        )
+        loaded = manager.load_model(param_dtype or jnp.bfloat16)
+        self.config = loaded.config
+        self._params = loaded.params
+        return loaded.params
+
+    def set_params(self, params, config: ModelConfig | None = None):
+        """Inject parameters directly (testing / pre-converted checkpoints)."""
+        self._params = params
+        if config is not None:
+            self.config = config
+
+    def _forward(self, batch):
+        key = (
+            batch.cre_tokens.shape,
+            batch.gene_tokens.shape,
+            batch.tissue_ids.shape,
+        )
+        if key not in self._fwd_cache:
+            cfg = self.config
+            impl = self.impl
+            self._fwd_cache[key] = jax.jit(
+                lambda p, b: seq2gene_forward(p, b, cfg, impl=impl)
+            )
+        return self._fwd_cache[key](self._params, batch)
+
+    # -- prediction ---------------------------------------------------------
+    def predict(
+        self,
+        vcf_path: str | None,
+        query_df: pd.DataFrame,
+        batch_size: int = 4,
+    ) -> pd.DataFrame:
+        """vcf2exp: per query row, predicted expression + pooled embedding per
+        tissue. Output schema matches the reference (predicted_expression,
+        embeddings list-valued columns appended to the validated query df)."""
+        assert self._params is not None, "call load_model()/set_params() first"
+        query = self.validate_query(query_df)
+        builder = GeneSampleBuilder(
+            cfg=self.config.dataset,
+            fasta=FastaReader(self.sources.fasta_path),
+            tokenizer=self.tokenizer,
+            gencode=self._load_gencode(),
+            cre_map_provider=(
+                self.sources.cre_map_provider
+                or self.sources.default_cre_map_provider()
+            ),
+            vcf=VCFReader(vcf_path) if vcf_path else None,
+        )
+
+        pred_col: list = [None] * len(query)
+        emb_col: list = [None] * len(query)
+        # Group rows by tissue tuple so each batch shares one tissue axis.
+        by_tissues: dict[tuple, list[int]] = {}
+        for i, row in query.iterrows():
+            by_tissues.setdefault(tuple(row["tissues"]), []).append(i)
+        for tissues, row_ids in by_tissues.items():
+            for start in range(0, len(row_ids), batch_size):
+                ids = row_ids[start : start + batch_size]
+                samples = [
+                    builder.build(query.iloc[i]["gene_id"]) for i in ids
+                ]
+                batch = pack_samples(samples, list(tissues))
+                out = self._forward(batch)
+                preds = np.asarray(out.pred_expression)       # [D, T]
+                embs = np.asarray(out.pooled_embedding)       # [D, T, E]
+                for j, i in enumerate(ids):
+                    pred_col[i] = preds[j]
+                    emb_col[i] = embs[j]
+        query = query.copy()
+        query["predicted_expression"] = pred_col
+        query["embeddings"] = emb_col
+        return query

@@ -1,0 +1,260 @@
+"""VEP data path: (variant, gene) -> ref/het/hom model batches with
+variant-token position tracking.
+
+Re-design of the reference VEPDataset (/root/reference/datasets/vepdataset.py)
+on top of the in-process sequence engine. Semantics preserved:
+
+  * variants are applied in Python on the forward-strand sequence: het sites
+    become IUPAC ambiguity codes, hom sites the alt allele
+    (SequenceProcessor.apply_variant, vepdataset.py:107-131),
+  * consensus uses the SNP-only filter when sequences come from a sample VCF,
+  * the CRE window overlapping the variant records its window index
+    (cre_token_position); the gene stream records the token window covering
+    the variant via encode_with_position on the strand-appropriate sequence,
+    clamped to max_chunks-1 (check_if_variant_in_gene_context,
+    vepdataset.py:479-493),
+  * minus-strand genes reverse CRE order and use reverse-complement strands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from variantformer_tpu.config import DatasetConfig
+from variantformer_tpu.data.pipeline import GeneSample, GeneSampleBuilder
+from variantformer_tpu.utils.constants import MAP_REF_CRE_TO_IDX
+from variantformer_tpu.utils.sequence import (
+    het_iupac_code,
+    reverse_complement,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Variant:
+    chrom: str
+    pos: int               # 1-based
+    ref: str
+    alt: str
+    tissue: list[int]
+    gene_id: list[str] = dataclasses.field(default_factory=list)
+    consequence: str | None = None
+    label: Any = None
+
+    def __post_init__(self):
+        if not self.chrom.startswith("chr"):
+            self.chrom = "chr" + self.chrom
+
+
+@dataclasses.dataclass
+class VepSample:
+    """One (variant, gene, population) item: ref/het/hom GeneSamples."""
+
+    gene_id: str
+    variant_type: str
+    samples: list[GeneSample]            # [ref, het, hom] or empty
+    cre_token_position: float            # nan when variant not in a CRE
+    gene_token_positions: list[float]    # per zygosity; nan when not in gene
+
+
+class VepSampleBuilder:
+    """Builds ref/het/hom batches from per-region consensus + variant edits."""
+
+    def __init__(self, builder: GeneSampleBuilder):
+        self.b = builder
+        self.cfg: DatasetConfig = builder.cfg
+        self.tok = builder.tokenizer
+
+    # -- raw sequences -----------------------------------------------------
+    def _cre_sequences(self, gene_id: str, info: dict) -> pd.DataFrame:
+        """Forward-strand consensus CRE sequences (SNP-only when VCF-backed),
+        ordered by position then reversed for minus-strand genes."""
+        nb = self.cfg.cre_neighbour_hood
+        chrom = info["chromosome"]
+        cre_map = self.b.cre_map_provider(gene_id).sort_values("start_cre")
+        rows = []
+        for row in cre_map.itertuples(index=False):
+            start = max(0, int(row.start_cre) - nb)
+            end = int(row.end_cre) + nb
+            seq, _ = self.b.engine.consensus(chrom, start, end, snps_only=True)
+            if not seq:
+                continue
+            rows.append(
+                {
+                    "start_cre": start,
+                    "end_cre": end,
+                    "sequence": seq,
+                    "cCRE": row.cre_name,
+                    "strand": info["strand"],
+                }
+            )
+        df = pd.DataFrame(rows)
+        if info["strand"] == "-":
+            df = df.iloc[::-1].reset_index(drop=True)
+        return df
+
+    def _gene_sequence(self, info: dict) -> dict:
+        w_start, w_end = self.b.gene_window(info)
+        seq, _ = self.b.engine.consensus(
+            info["chromosome"], w_start, w_end, snps_only=True
+        )
+        return {
+            "sequence": seq,
+            "start": w_start,
+            "end": w_end,
+            "strand": info["strand"],
+        }
+
+    # -- variant application ----------------------------------------------
+    @staticmethod
+    def _apply(seq: str, pos: int, ref: str, alt: str) -> tuple[str, str]:
+        het = seq[:pos] + het_iupac_code(ref, alt) + seq[pos + 1 :]
+        hom = seq[:pos] + alt + seq[pos + 1 :]
+        return het, hom
+
+    def _gene_token_window(self, strand: str, fwd_seq: str, pos_on_seq: int) -> int:
+        seq = fwd_seq if strand == "+" else reverse_complement(fwd_seq)
+        pos = pos_on_seq if strand == "+" else len(seq) - pos_on_seq - 1
+        d = self.tok.encode_with_position(seq, pos)
+        window = d["position_id"] // self.cfg.max_length
+        return min(window, self.cfg.max_chunks - 1)
+
+    # -- tokenized sample assembly ----------------------------------------
+    def _tokenize(self, cre_df: pd.DataFrame, gene: dict, gene_id: str) -> GeneSample:
+        strand = gene["strand"]
+        l = self.cfg.max_length
+        cre_tokens, cre_lens, cre_labels = [], [], []
+        for _, row in cre_df.iterrows():
+            seq = row["sequence"]
+            if strand == "-":
+                seq = reverse_complement(seq)
+            ids, _ = self.tok.encode_strand(self.tok.normalize([seq]))
+            arr, n = self.b._fit_window(ids)
+            cre_tokens.append(arr)
+            cre_lens.append(n)
+            cre_labels.append(MAP_REF_CRE_TO_IDX.get(row["cCRE"], 0))
+        gene_seq = gene["sequence"]
+        if strand == "-":
+            gene_seq = reverse_complement(gene_seq)
+        gene_ids, _ = self.tok.encode_strand(self.tok.normalize([gene_seq]))
+        gene_tokens, gene_lens = [], []
+        for c in range(0, len(gene_ids), l):
+            if len(gene_tokens) >= self.cfg.max_chunks:
+                break
+            arr, n = self.b._fit_window(gene_ids[c : c + l])
+            gene_tokens.append(arr)
+            gene_lens.append(n)
+        return GeneSample(
+            gene_id=gene_id,
+            strand=strand,
+            cre_tokens=np.stack(cre_tokens) if cre_tokens else np.zeros((0, l), np.int32),
+            cre_tok_len=np.asarray(cre_lens, np.int32),
+            cre_labels=np.asarray(cre_labels, np.int32),
+            gene_tokens=np.stack(gene_tokens),
+            gene_tok_len=np.asarray(gene_lens, np.int32),
+        )
+
+    # -- main entry ---------------------------------------------------------
+    def build(self, variant: Variant, gene_info: dict, validate_ref: bool = True) -> VepSample:
+        gene_id = gene_info["gene_id"]
+        cre_df = self._cre_sequences(gene_id, gene_info)
+        gene = self._gene_sequence(gene_info)
+        strand = gene_info["strand"]
+
+        # --- apply to CREs ---
+        overlap_cre = False
+        cre_token_position = float("nan")
+        df_het = cre_df.copy()
+        df_hom = cre_df.copy()
+        for i, row in cre_df.iterrows():
+            if row["start_cre"] > variant.pos and strand == "+":
+                break
+            if row["end_cre"] < variant.pos and strand == "-":
+                break
+            if row["start_cre"] < variant.pos <= row["end_cre"]:
+                overlap_cre = True
+                cre_token_position = i
+                pos_on_seq = variant.pos - row["start_cre"] - 1
+                seq = row["sequence"]
+                if validate_ref and seq[pos_on_seq].upper() != variant.ref.upper():
+                    raise ValueError(
+                        f"Reference mismatch at {variant.chrom}:{variant.pos}: "
+                        f"{seq[pos_on_seq]} != {variant.ref}"
+                    )
+                het, hom = self._apply(seq, pos_on_seq, variant.ref, variant.alt)
+                df_het.at[i, "sequence"] = het
+                df_hom.at[i, "sequence"] = hom
+
+        # --- apply to the gene window ---
+        overlap_gene = False
+        gene_het = dict(gene)
+        gene_hom = dict(gene)
+        gtp_ref = gtp_het = gtp_hom = float("nan")
+        if gene["start"] < variant.pos <= gene["end"]:
+            overlap_gene = True
+            pos_on_gene = variant.pos - gene["start"] - 1
+            fwd = gene["sequence"]
+            if validate_ref and fwd[pos_on_gene].upper() != variant.ref.upper():
+                raise ValueError(
+                    f"Gene reference mismatch at {variant.chrom}:{variant.pos}"
+                )
+            het, hom = self._apply(fwd, pos_on_gene, variant.ref, variant.alt)
+            gtp_ref = self._gene_token_window(strand, fwd, pos_on_gene)
+            gtp_het = self._gene_token_window(strand, het, pos_on_gene)
+            gtp_hom = self._gene_token_window(strand, hom, pos_on_gene)
+            gene_het["sequence"] = het
+            gene_hom["sequence"] = hom
+
+        if not overlap_cre and not overlap_gene:
+            return VepSample(
+                gene_id=gene_id, variant_type="No overlap", samples=[],
+                cre_token_position=float("nan"),
+                gene_token_positions=[float("nan")] * 3,
+            )
+
+        samples = [
+            self._tokenize(cre_df, gene, gene_id),
+            self._tokenize(df_het, gene_het, gene_id),
+            self._tokenize(df_hom, gene_hom, gene_id),
+        ]
+        if overlap_cre and overlap_gene:
+            variant_type = "Gene and CRE overlap"
+        elif overlap_cre:
+            variant_type = "CRE overlap only"
+        else:
+            variant_type = "Gene overlap only"
+        return VepSample(
+            gene_id=gene_id,
+            variant_type=variant_type,
+            samples=samples,
+            cre_token_position=cre_token_position,
+            gene_token_positions=[gtp_ref, gtp_het, gtp_hom],
+        )
+
+
+def get_probable_genes(
+    gencode: pd.DataFrame, variant: Variant, window_size: int = 1_000_000
+) -> list[dict]:
+    """Genes whose body +-window contains the variant (reference
+    multi_datasets_loader.py:58-92)."""
+    chrom_genes = gencode[gencode["chromosome"] == variant.chrom]
+    out = []
+    for _, gene in chrom_genes.iterrows():
+        if gene["start"] - window_size < variant.pos < gene["end"] + window_size:
+            out.append(
+                {
+                    "gene_id": gene["gene_id"],
+                    "start": gene["start"],
+                    "end": gene["end"],
+                    "gene_name": gene.get("gene_name", ""),
+                    "strand": gene["strand"],
+                    "chromosome": gene["chromosome"],
+                }
+            )
+    return out

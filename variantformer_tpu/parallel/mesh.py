@@ -1,0 +1,111 @@
+"""Device mesh + GSPMD sharding for the hierarchical model.
+
+The reference has no distributed backend (SURVEY.md §2.3); this layer is
+designed TPU-first:
+
+  * mesh axes ("data", "model"): donors/genes stream data-parallel over
+    "data" (DCN at multi-host scale), the 1536-wide encoder stack shards
+    tensor-parallel over "model" (ICI),
+  * tensor parallelism is head/FFN sharding: packed QKV projections are
+    stored head-major, so sharding their flat output dim across "model" is
+    exact head parallelism; attention out-projections contract a sharded
+    dim, and XLA inserts the psum,
+  * everything else (embeddings, norms, registry, tissue heads) replicates.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
+the same named shardings lay DP across hosts (DCN) and TP inside each host.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from variantformer_tpu.models.seq2gene import Seq2GeneBatch
+
+
+def make_mesh(num_model: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if num_model is None:
+        num_model = next(m for m in (4, 2, 1) if n % m == 0)
+    data = n // num_model
+    return Mesh(
+        np.asarray(devices).reshape(data, num_model), axis_names=("data", "model")
+    )
+
+
+# Leaf-name -> which axis (counted from the end) carries the "model" shard.
+_MODEL_AXIS_FROM_END = {
+    ("ffn_in", "w"): 1,
+    ("ffn_in", "b"): 1,
+    ("ffn_out", "w"): 2,
+    ("wqkv", "w"): 1,
+    ("wqkv", "b"): 1,
+    ("wkv", "w"): 1,
+    ("wkv", "b"): 1,
+    ("wq", "w"): 1,
+    ("wq", "b"): 1,
+    ("out", "w"): 2,   # attention out-projection contracts the sharded dim
+}
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec pytree for a parameter tree (see module docstring)."""
+
+    def spec_for(path, leaf) -> P:
+        names = [p.key for p in path if hasattr(p, "key")]
+        key = tuple(names[-2:])
+        axis_from_end = _MODEL_AXIS_FROM_END.get(key)
+        if axis_from_end is None or leaf.ndim < axis_from_end:
+            return P()
+        spec = [None] * leaf.ndim
+        spec[leaf.ndim - axis_from_end] = "model"
+        return P(*spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_specs(batch: Seq2GeneBatch) -> Seq2GeneBatch:
+    """Donor-leading arrays shard over "data"; tissue ids replicate."""
+
+    def spec_for(name, leaf):
+        if leaf is None:
+            return None
+        if name == "tissue_ids":
+            return P()
+        return P("data", *([None] * (leaf.ndim - 1)))
+
+    return Seq2GeneBatch(
+        **{name: spec_for(name, getattr(batch, name)) for name in batch._fields}
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
+    specs = batch_specs(batch)
+    vals = {}
+    for name in batch._fields:
+        leaf = getattr(batch, name)
+        spec = getattr(specs, name)
+        vals[name] = (
+            None if leaf is None else jax.device_put(leaf, NamedSharding(mesh, spec))
+        )
+    return Seq2GeneBatch(**vals)
+
+
+def sharded_forward(cfg, mesh: Mesh, impl: str = "xla"):
+    """jit-compiled seq2gene forward with explicit input shardings."""
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+
+    def fn(params, batch):
+        return seq2gene_forward(params, batch, cfg, impl=impl)
+
+    return jax.jit(fn)
