@@ -1,0 +1,111 @@
+"""Training tests: loss numerics vs torch, frozen-tokenizer contract,
+end-to-end train step reduces loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from variantformer_tpu.train import losses as L
+from variantformer_tpu.train.optimizer import (
+    decay_mask,
+    make_optimizer,
+    trainable_mask,
+)
+
+
+def test_poisson_nll_matches_torch():
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0.01, 5.0, 64).astype(np.float32)
+    target = rng.integers(0, 8, 64).astype(np.float32)
+    ref = torch.nn.PoissonNLLLoss(log_input=False, full=True, reduction="none")(
+        torch.tensor(pred), torch.tensor(target)
+    ).numpy()
+    ours = np.asarray(L.poisson_nll(jnp.asarray(pred), jnp.asarray(target)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_focal_loss_matches_reference_spec():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((16, 11)).astype(np.float32)
+    labels = rng.integers(0, 11, 16)
+    lt = torch.tensor(logits)
+    yt = torch.tensor(labels)
+    logpt = torch.log_softmax(lt, dim=1).gather(1, yt.view(-1, 1)).view(-1)
+    pt = logpt.exp()
+    ref = (-1 * (1 - pt) ** 2.0 * logpt).numpy()
+    ours = np.asarray(L.focal_loss(jnp.asarray(logits), jnp.asarray(labels), 2.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_weighted_ce_matches_torch():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((10, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, 10)
+    w = np.asarray([1.0, 2.0, 0.5, 3.0, 1.5], np.float32)
+    ref = torch.nn.CrossEntropyLoss(weight=torch.tensor(w), reduction="none")(
+        torch.tensor(logits), torch.tensor(labels)
+    ).numpy()
+    ours = np.asarray(
+        L.cross_entropy(jnp.asarray(logits), jnp.asarray(labels), w)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_masks():
+    from tests.test_model_smoke import tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    dm = decay_mask(params)
+    assert dm["gene_layers"]["ffn_in"]["w"] is True
+    assert dm["gene_layers"]["ffn_in"]["b"] is False
+    assert dm["gene_layers"]["norm1"]["scale"] is False
+    assert dm["registry"] is False
+    assert dm["tissue_heads"]["w1"] is True
+    assert dm["tissue_heads"]["ln_scale"] is False
+    tm = trainable_mask(params, train_gene_tokenizer=False)
+    assert tm["cre_tokenizer"]["token_embedding"] is False
+    assert tm["gene_tokenizer"]["token_embedding"] is False
+    assert tm["gene_map"]["w"] is True
+    tm2 = trainable_mask(params, train_gene_tokenizer=True)
+    assert tm2["gene_tokenizer"]["token_embedding"] is True
+
+
+def test_train_step_reduces_loss_and_freezes_tokenizer():
+    from tests.test_model_smoke import tiny_batch, tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    tx = make_optimizer(
+        params, learning_rate=3e-3, weight_decay=0.01, optimizer="adamw",
+        train_gene_tokenizer=False,
+    )
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_seq2gene_train_step(cfg, tx)
+    batch = tiny_batch(np.random.default_rng(0))
+    targets = jnp.asarray(np.random.default_rng(1).uniform(0, 3, (2, 3)), jnp.float32)
+    mask = jnp.ones((2, 3), bool)
+
+    cre_tok_before = np.asarray(params["cre_tokenizer"]["token_embedding"])
+    gene_tok_before = np.asarray(params["gene_tokenizer"]["token_embedding"])
+    losses = []
+    loss = jnp.asarray(1.0)  # initial plateau-monitor value
+    for _ in range(8):
+        state, loss = step(state, batch, targets, mask, loss)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    np.testing.assert_array_equal(
+        np.asarray(state.params["cre_tokenizer"]["token_embedding"]), cre_tok_before
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["gene_tokenizer"]["token_embedding"]), gene_tok_before
+    )
+    # trainable params moved
+    assert not np.allclose(
+        np.asarray(state.params["gene_map"]["w"]), np.asarray(params["gene_map"]["w"])
+    )

@@ -1,0 +1,80 @@
+"""Native checkpoint format: orbax pytree + JSON config sidecar.
+
+Replaces torch.load/Lightning .pth as the framework's storage format
+(N7 in SURVEY.md §2.2). ``convert_torch_checkpoint`` is the one-shot
+migration path from the reference's released .pth files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from variantformer_tpu.config import ModelConfig, _update
+
+
+def _cfg_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_checkpoint(path: str | Path, params, cfg: ModelConfig | None = None):
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    path.mkdir(parents=True, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path / "params", params, force=True)
+    if cfg is not None:
+        (path / "config.json").write_text(json.dumps(_cfg_to_dict(cfg), indent=2))
+
+
+def load_checkpoint(path: str | Path, dtype=None):
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        params = ckptr.restore(path / "params")
+    cfg = None
+    cfg_file = path / "config.json"
+    if cfg_file.exists():
+        cfg = _update(ModelConfig(), json.loads(cfg_file.read_text()))
+    if dtype is not None:
+        params = jax.tree.map(lambda x: jax.numpy.asarray(x, dtype), params)
+    return params, cfg
+
+
+def convert_torch_checkpoint(
+    torch_path: str,
+    out_dir: str,
+    cfg: ModelConfig | None = None,
+    num_heads: int = 32,
+    encoder_num_heads: int = 8,
+):
+    """One-shot .pth -> orbax conversion of a seq2gene checkpoint."""
+    from variantformer_tpu.models import convert
+
+    sd, hyper = convert.load_torch_checkpoint(torch_path)
+    params = convert.convert_seq2gene(
+        sd, num_heads=num_heads, encoder_num_heads=encoder_num_heads
+    )
+    save_checkpoint(out_dir, params, cfg)
+    return params, hyper
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("torch_checkpoint")
+    ap.add_argument("out_dir")
+    ap.add_argument("--num-heads", type=int, default=32)
+    ap.add_argument("--encoder-num-heads", type=int, default=8)
+    args = ap.parse_args()
+    convert_torch_checkpoint(
+        args.torch_checkpoint, args.out_dir,
+        num_heads=args.num_heads, encoder_num_heads=args.encoder_num_heads,
+    )

@@ -170,35 +170,57 @@ def _tissue_heads(sd: StateDict, prefix: str) -> dict:
 def convert_seq2gene(
     sd: StateDict, num_heads: int = 32, encoder_num_heads: int = 8
 ) -> dict:
-    """Convert a Seq2GenePredictorCombinedModulator state_dict (the 1.2B model).
+    """Convert a hierarchical seq2gene state_dict (the 1.2B model).
+
+    Handles both released model classes — Seq2GenePredictorCombinedModulator
+    (combined_modulator.{cre,gene}_layers.*) and the two-module
+    Seq2GenePredictor (epigenetics_modulator.*/gene_modulator.*, reference
+    seq2gene/model.py) — which share identical computation when configured
+    alike; gene layer i consumes CRE intermediate i in both.
 
     The tokenizer weights embedded in this state_dict are the final
     (potentially fine-tuned) ones, matching the reference's load order where
     the combined checkpoint overwrites the standalone tokenizer checkpoints.
     """
-    n_cre = _count_layers(sd, "combined_modulator.cre_layers.{}")
-    n_gene = _count_layers(sd, "combined_modulator.gene_layers.{}")
+    if "combined_modulator.cre_layers.0.norm1.weight" in sd:
+        cre_prefix = "combined_modulator.cre_layers"
+        gene_prefix = "combined_modulator.gene_layers"
+        ctx_key = "combined_modulator.second_level_context_embedding.weight"
+    else:
+        cre_prefix = "epigenetics_modulator.epigenetics_modulator"
+        gene_prefix = "gene_modulator.gene_modulator"
+        ctx_key = "epigenetics_modulator.second_level_context_embedding.weight"
+    n_cre = _count_layers(sd, cre_prefix + ".{}")
+    n_gene = _count_layers(sd, gene_prefix + ".{}")
+
+    def _gene_layer(i):
+        prefix = f"{gene_prefix}.{i}"
+        if f"{prefix}.mixer.MHA.Wqkv.weight" in sd:
+            return _context_layer(sd, prefix, num_heads)
+        # cross-attention-only gene layer (only_cross_attention=True)
+        return {
+            "norm1": _norm(sd, f"{prefix}.norm1"),
+            "norm2": _norm(sd, f"{prefix}.norm2"),
+            "cross": {
+                "wq": _lin(sd, f"{prefix}.crossMHA.MHA.Wq"),
+                "wkv": _packed_lin(sd, f"{prefix}.crossMHA.MHA.Wkv", 2, num_heads),
+                "out": _lin(sd, f"{prefix}.crossMHA.MHA.out_proj"),
+            },
+            "ffn_in": _lin(sd, f"{prefix}.linear_geglu_1"),
+            "ffn_out": _lin(sd, f"{prefix}.linear_geglu_2"),
+        }
+
     params = {
         "cre_tokenizer": convert_window_encoder(sd, "cre_tokenizer", encoder_num_heads),
         "gene_tokenizer": convert_window_encoder(sd, "gene_tokenizer", encoder_num_heads),
         "cre_map": _lin(sd, "cre_map"),
         "gene_map": _lin(sd, "gene_map"),
         "registry": np.asarray(sd["start_tkn.registry_tokens.weight"]),
-        "context_embedding": np.asarray(
-            sd["combined_modulator.second_level_context_embedding.weight"]
-        ),
+        "context_embedding": np.asarray(sd[ctx_key]),
         "cre_layers": _stack(
-            [
-                _context_layer(sd, f"combined_modulator.cre_layers.{i}", num_heads)
-                for i in range(n_cre)
-            ]
+            [_context_layer(sd, f"{cre_prefix}.{i}", num_heads) for i in range(n_cre)]
         ),
-        "gene_layers": _stack(
-            [
-                _context_layer(sd, f"combined_modulator.gene_layers.{i}", num_heads)
-                for i in range(n_gene)
-            ]
-        ),
+        "gene_layers": _stack([_gene_layer(i) for i in range(n_gene)]),
         "tissue_heads": _tissue_heads(sd, "tissue_heads.tissue_expressions"),
     }
     return params

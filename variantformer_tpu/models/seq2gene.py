@@ -207,12 +207,16 @@ def seq2gene_forward(
     cre_intermediates = jnp.concatenate([cre[None], cre_steps], axis=0)  # [25, D, C, E]
 
     # === 5. Gene stack scanning over (gene layer, CRE intermediate) pairs ===
+    gene_res = gene_stream if mcfg.use_res else None
+
     def gene_body(gs, inputs):
         layer_p, cre_kv = inputs
         out = _gene_layer(
             layer_p, gs, cre_kv, gene_len, batch.cre_count,
             slopes, mcfg.only_cross_attention, mod_spec, compute_dtype,
         )
+        if gene_res is not None:
+            out = out + gene_res
         return out, None
 
     gene_stream, _ = jax.lax.scan(

@@ -1,0 +1,88 @@
+"""Optimizer construction: Adam/AdamW with the reference's decay/no-decay
+parameter split and plateau LR scheduling.
+
+The reference exempts biases, LayerNorm and Embedding parameters from weight
+decay (seq2reg/model.py:451-499). In our pytree that maps to: all ``b``
+leaves, all norm ``scale``/``bias`` leaves (incl. tissue-head ln_*), and the
+embedding tables (token/context embeddings, registry). Frozen subtrees
+(the cre tokenizer; the gene tokenizer unless train_gene_tokenizer) get
+zeroed updates.
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+
+_NO_DECAY_LEAVES = {"b", "bias", "scale", "ln_scale", "ln_bias", "b1", "b2", "b3"}
+_EMBEDDING_LEAVES = {
+    "token_embedding", "context_embedding", "registry",
+}
+
+
+def _path_names(path) -> list[str]:
+    return [p.key for p in path if hasattr(p, "key")]
+
+
+def decay_mask(params):
+    """True where weight decay applies."""
+
+    def is_decay(path, leaf):
+        names = _path_names(path)
+        if not names:
+            return False
+        if names[-1] in _NO_DECAY_LEAVES:
+            return False
+        if names[-1] in _EMBEDDING_LEAVES:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(is_decay, params)
+
+
+def trainable_mask(params, train_gene_tokenizer: bool = True):
+    """False for frozen subtrees (reference model_combined_modulator.py:462-471)."""
+
+    def is_trainable(path, leaf):
+        names = _path_names(path)
+        if names and names[0] == "cre_tokenizer":
+            return False
+        if names and names[0] == "gene_tokenizer" and not train_gene_tokenizer:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(is_trainable, params)
+
+
+def make_optimizer(
+    params,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.0,
+    optimizer: str = "adam",
+    train_gene_tokenizer: bool = True,
+    plateau_patience: int = 2,
+    plateau_factor: float = 0.5,
+    min_scale: float = 1e-3,
+):
+    """Returns an optax GradientTransformationExtraArgs; pass ``value=`` (the
+    monitored validation loss) to ``update`` for plateau scheduling."""
+    assert optimizer in ("adam", "adamw")
+    if optimizer == "adamw" or weight_decay:
+        base = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(weight_decay, mask=decay_mask(params)),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    else:
+        base = optax.adam(learning_rate)
+    trainable = trainable_mask(params, train_gene_tokenizer)
+    frozen = jax.tree.map(lambda t: not t, trainable)
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen),  # hard-freeze tokenizers
+        optax.masked(base, trainable),
+        optax.contrib.reduce_on_plateau(
+            patience=plateau_patience,
+            factor=plateau_factor,
+            min_scale=min_scale,
+        ),
+    )

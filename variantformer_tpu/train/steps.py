@@ -1,0 +1,108 @@
+"""Jittable training steps for both model stages.
+
+The reference ships training hooks but no entry point (SURVEY.md §0); these
+steps reconstruct the training semantics as pure functions:
+
+  * seq2gene: Poisson NLL (or MSE) on per-(donor, tissue) expression
+    (reference model_combined_modulator.py:533-538),
+  * seq2reg: per-tissue CRE classification with focal/weighted CE, optional
+    dual contrastive loss (reference seq2reg/model.py:304-353).
+
+Gradients flow through the XLA attention path (fully differentiable); the
+Pallas kernels are inference-path only until their custom VJPs land.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from variantformer_tpu.config import ModelConfig
+from variantformer_tpu.models.seq2gene import Seq2GeneBatch, seq2gene_forward
+from variantformer_tpu.train import losses as L
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def seq2gene_loss_fn(
+    params, batch: Seq2GeneBatch, targets: jax.Array, target_mask: jax.Array,
+    cfg: ModelConfig,
+):
+    """targets/target_mask: [D, T] expression labels and validity."""
+    out = seq2gene_forward(params, batch, cfg, impl="xla")
+    pred = out.pred_expression
+    if cfg.seq2gene.loss_fn == "poisson":
+        elem = L.poisson_nll(pred, targets)
+    else:
+        elem = L.mse(pred, targets)
+    elem = jnp.where(target_mask, elem, 0.0)
+    return elem.sum() / jnp.maximum(target_mask.sum(), 1)
+
+
+def make_seq2gene_train_step(cfg: ModelConfig, tx: optax.GradientTransformation):
+    @jax.jit
+    def step(state: TrainState, batch, targets, target_mask, plateau_value):
+        loss, grads = jax.value_and_grad(seq2gene_loss_fn)(
+            state.params, batch, targets, target_mask, cfg
+        )
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, value=plateau_value
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def seq2reg_loss_fn(
+    params, tokens, tok_len, context, tissue_ids, labels, cfg,
+    loss_type: str = "cross_entropy", gamma: float = 0.0, class_weight=None,
+    use_dual_loss: bool = False, logit_scale=None, dual_fraction=None,
+):
+    from variantformer_tpu.models.core import AttnSpec
+    from variantformer_tpu.models.seq2reg import classify_windows, encode_windows
+
+    wcfg = cfg.window_encoder
+    spec = AttnSpec(wcfg.num_heads, wcfg.embedding_dim // wcfg.num_heads)
+    emb = encode_windows(
+        params, tokens, tok_len, context, wcfg, spec, jnp.float32
+    )
+    logits = classify_windows(params, emb, tissue_ids)
+    clf = L.get_classification_loss(loss_type, gamma, class_weight)
+    loss = clf(logits, labels).sum()
+    if use_dual_loss:
+        dual = L.dual_contrastive_loss(emb, logit_scale)
+        frac = (
+            dual_fraction
+            if dual_fraction is not None
+            else jnp.clip(
+                jax.lax.stop_gradient(loss) / jax.lax.stop_gradient(dual),
+                0.01, 100.0,
+            )
+        )
+        loss = loss + frac * dual
+    return loss, logits
+
+
+def make_seq2reg_train_step(cfg: ModelConfig, tx, **loss_kwargs):
+    @jax.jit
+    def step(state: TrainState, tokens, tok_len, context, tissue_ids, labels):
+        (loss, _), grads = jax.value_and_grad(seq2reg_loss_fn, has_aux=True)(
+            state.params, tokens, tok_len, context, tissue_ids, labels, cfg,
+            **loss_kwargs,
+        )
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, value=loss
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
