@@ -95,3 +95,25 @@ def test_long_sequence_round_trip(tok):
     ids, toks = tok.encode_strand([seq])
     assert "".join(toks) == seq
     assert tok.decode(ids) == seq
+
+
+def test_native_matches_python(tok):
+    """The C++ engine must agree with the pure-Python reference exactly."""
+    import json
+    import random
+
+    if tok._native is None:
+        pytest.skip("native library not built")
+    data = json.load(open(VOCAB_PATH))
+    merges = [
+        tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
+        for m in data["model"]["merges"]
+    ]
+    py = BPETokenizer(data["model"]["vocab"], merges, use_native=False)
+    rng = random.Random(5)
+    for _ in range(10):
+        seq = _random_dna(rng, rng.randint(1, 3000), "ACGTRYSWKMBDHV")
+        ids_n, offs_n = tok._encode_word(seq)
+        ids_p, offs_p = py._encode_word_py(seq)
+        assert ids_n == ids_p
+        assert offs_n == offs_p

@@ -132,7 +132,7 @@ class GeneSampleBuilder:
                 continue
             if strand == "-":
                 seq = reverse_complement(seq)
-            ids, _ = self.tokenizer.encode_strand(self.tokenizer.normalize([seq]))
+            ids = self.tokenizer.encode_ids(seq)
             arr, n = self._fit_window(ids)
             cre_tokens.append(arr)
             cre_lens.append(n)
@@ -147,9 +147,7 @@ class GeneSampleBuilder:
             raise ValueError(f"gene window shorter than {min_len}bp for {gene_id}")
         if strand == "-":
             gene_seq = reverse_complement(gene_seq)
-        gene_ids, _ = self.tokenizer.encode_strand(
-            self.tokenizer.normalize([gene_seq])
-        )
+        gene_ids = self.tokenizer.encode_ids(gene_seq)
         l = self.cfg.max_length
         gene_tokens, gene_lens = [], []
         for c in range(0, len(gene_ids), l):

@@ -134,7 +134,7 @@ class VepSampleBuilder:
             seq = row["sequence"]
             if strand == "-":
                 seq = reverse_complement(seq)
-            ids, _ = self.tok.encode_strand(self.tok.normalize([seq]))
+            ids = self.tok.encode_ids(seq)
             arr, n = self.b._fit_window(ids)
             cre_tokens.append(arr)
             cre_lens.append(n)
@@ -142,7 +142,7 @@ class VepSampleBuilder:
         gene_seq = gene["sequence"]
         if strand == "-":
             gene_seq = reverse_complement(gene_seq)
-        gene_ids, _ = self.tok.encode_strand(self.tok.normalize([gene_seq]))
+        gene_ids = self.tok.encode_ids(gene_seq)
         gene_tokens, gene_lens = [], []
         for c in range(0, len(gene_ids), l):
             if len(gene_tokens) >= self.cfg.max_chunks:

@@ -19,19 +19,38 @@ from __future__ import annotations
 
 import heapq
 import json
+import re
 from typing import Iterable
+
+import numpy as np
 
 from variantformer_tpu.utils.constants import IUPAC_CODES, SPECIAL_TOKENS
 
 _IUPAC_SET = frozenset(IUPAC_CODES)
+_NON_IUPAC_RE = re.compile("[^" + "".join(sorted(_IUPAC_SET)) + "]+")
 
 
 class BPETokenizer:
-    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]]):
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        merges: list[tuple[str, str]],
+        use_native: bool | None = None,
+    ):
         self.vocab = dict(vocab)
         self.id_to_token = {i: t for t, i in self.vocab.items()}
         self.merge_ranks = {tuple(m): r for r, m in enumerate(merges)}
         self.pad_token_id = self.vocab.get(SPECIAL_TOKENS["pad_token"], 0)
+        self._native = None
+        if use_native is not False:
+            try:
+                from variantformer_tpu.utils.native import NativeBPE
+
+                self._native = NativeBPE(self.vocab, merges)
+            except Exception:
+                if use_native is True:
+                    raise
+                self._native = None
 
     # -- loading ----------------------------------------------------------
     @classmethod
@@ -49,6 +68,11 @@ class BPETokenizer:
     # -- core BPE ---------------------------------------------------------
     def _encode_word(self, word: str) -> tuple[list[int], list[tuple[int, int]]]:
         """BPE-encode one subsequence; returns (ids, char offsets)."""
+        if self._native is not None:
+            return self._native.encode_word(word)
+        return self._encode_word_py(word)
+
+    def _encode_word_py(self, word: str) -> tuple[list[int], list[tuple[int, int]]]:
         n = len(word)
         if n == 0:
             return [], []
@@ -111,17 +135,22 @@ class BPETokenizer:
         """Uppercase and split each sequence at non-IUPAC characters."""
         out: list[str] = []
         for seq in sequences:
-            seq = seq.upper()
-            current: list[str] = []
-            for ch in seq:
-                if ch in _IUPAC_SET:
-                    current.append(ch)
-                elif current:
-                    out.append("".join(current))
-                    current = []
-            if current:
-                out.append("".join(current))
+            out.extend(s for s in _NON_IUPAC_RE.split(seq.upper()) if s)
         return out
+
+    def encode_ids(self, sequence: str) -> np.ndarray:
+        """Fast path: normalize + encode one raw sequence straight to an int32
+        id array (no token strings, no Python lists)."""
+        parts: list[np.ndarray] = []
+        for sub in self.normalize([sequence]):
+            if self._native is not None:
+                parts.append(self._native.encode_word_ids(sub))
+            else:
+                ids, _ = self._encode_word_py(sub)
+                parts.append(np.asarray(ids, np.int32))
+        if not parts:
+            return np.zeros(0, np.int32)
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
     def encode_strand(self, subsequences: list[str]) -> tuple[list[int], list[str]]:
         ids: list[int] = []

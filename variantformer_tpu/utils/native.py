@@ -1,0 +1,136 @@
+"""ctypes bridge to the native (C++) components, with build-on-demand.
+
+The shared library is built from variantformer_tpu/native/ at first use (or
+via ``make -C variantformer_tpu/native``); when no toolchain is available the
+callers fall back to their pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+LIB_PATH = NATIVE_DIR / "build" / "libvfxbpe.so"
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build_library() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return LIB_PATH.exists()
+    except Exception as exc:
+        log.warning("native build failed: %s", exc)
+        return False
+
+
+def get_library():
+    """Load (building if necessary) the native library, or None."""
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not LIB_PATH.exists() and os.environ.get("VFX_NO_NATIVE") != "1":
+            _build_library()
+        if not LIB_PATH.exists():
+            _lib_failed = True
+            return None
+        lib = ctypes.CDLL(str(LIB_PATH))
+        lib.vfx_bpe_create.restype = ctypes.c_void_p
+        lib.vfx_bpe_create.argtypes = [
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+        ]
+        lib.vfx_bpe_destroy.argtypes = [ctypes.c_void_p]
+        lib.vfx_bpe_encode.restype = ctypes.c_int32
+        lib.vfx_bpe_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+class NativeBPE:
+    """Native BPE encoder over id-space merges."""
+
+    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]]):
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        n = len(merges)
+        left = np.empty(n, np.int32)
+        right = np.empty(n, np.int32)
+        result = np.empty(n, np.int32)
+        for i, (a, b) in enumerate(merges):
+            left[i] = vocab[a]
+            right[i] = vocab[b]
+            result[i] = vocab[a + b]
+        char_to_id = np.full(256, -1, np.int32)
+        for token, tid in vocab.items():
+            if len(token) == 1:
+                char_to_id[ord(token)] = tid
+        self._handle = lib.vfx_bpe_create(n, left, right, result, char_to_id)
+        if not self._handle:
+            raise RuntimeError("vfx_bpe_create failed")
+
+    def encode_word(self, word: str):
+        n = len(word)
+        if n == 0:
+            return [], []
+        out_ids = np.empty(n, np.int32)
+        out_starts = np.empty(n, np.int32)
+        out_ends = np.empty(n, np.int32)
+        count = self._lib.vfx_bpe_encode(
+            self._handle, word.encode("ascii"), n, out_ids, out_starts, out_ends, n
+        )
+        if count < 0:
+            raise ValueError(f"native BPE encode failed (code {count})")
+        ids = out_ids[:count].tolist()
+        offsets = list(zip(out_starts[:count].tolist(), out_ends[:count].tolist()))
+        return ids, offsets
+
+    def encode_word_ids(self, word: str) -> np.ndarray:
+        """Array-only fast path (no offsets, no Python lists)."""
+        n = len(word)
+        if n == 0:
+            return np.zeros(0, np.int32)
+        out_ids = np.empty(n, np.int32)
+        out_starts = np.empty(n, np.int32)
+        out_ends = np.empty(n, np.int32)
+        count = self._lib.vfx_bpe_encode(
+            self._handle, word.encode("ascii"), n, out_ids, out_starts, out_ends, n
+        )
+        if count < 0:
+            raise ValueError(f"native BPE encode failed (code {count})")
+        return out_ids[:count]
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.vfx_bpe_destroy(self._handle)
+        except Exception:
+            pass
