@@ -1,0 +1,131 @@
+"""Tests for auxiliary components: offline training pipeline, visualization
+report, VEP chunking contract, profiling, and the host-sharding helper."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+
+def _mini_genome(tmp_path):
+    from variantformer_tpu.config import DatasetConfig
+    from variantformer_tpu.data.pipeline import GeneSampleBuilder
+    from variantformer_tpu.utils.assets import resolve_vocab_path
+    from variantformer_tpu.utils.bpe import BPETokenizer
+    from variantformer_tpu.utils.fasta import FastaReader
+
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), 3000))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n")
+        for i in range(0, 3000, 60):
+            fh.write(seq[i : i + 60] + "\n")
+    gencode = pd.DataFrame(
+        [
+            {"gene_id": "G1.1", "gene_name": "G1", "chromosome": "chr1",
+             "start": 500, "end": 1400, "strand": "+"},
+            {"gene_id": "G2.1", "gene_name": "G2", "chromosome": "chr8",
+             "start": 100, "end": 900, "strand": "+"},
+        ]
+    )
+    cres = pd.DataFrame(
+        [{"chromosome": "chr1", "start_cre": 300, "end_cre": 380, "cre_name": "dELS"}]
+    )
+    cfg = DatasetConfig(
+        max_length=16, max_chunks=8, cre_neighbour_hood=5,
+        gene_upstream_neighbour_hood=20, gene_downstream_neighbour_hood=400,
+    )
+    tok = BPETokenizer.from_file(resolve_vocab_path("bpe_vocabulary_500.json"))
+    builder = GeneSampleBuilder(cfg, FastaReader(fa), tok, gencode, lambda g: cres)
+    return gencode, builder
+
+
+def test_chromosome_split():
+    from variantformer_tpu.data.train_pipeline import split_by_chromosome
+
+    gencode = pd.DataFrame(
+        {
+            "gene_id": ["A", "B", "C", "D"],
+            "chromosome": ["chr1", "chr8", "chr21", "chrX"],
+        }
+    )
+    train, test = split_by_chromosome(gencode)
+    assert list(train["gene_id"]) == ["A"]
+    assert list(test["gene_id"]) == ["B", "C"]  # chrX dropped entirely
+
+
+def test_training_shard_writer(tmp_path):
+    from variantformer_tpu.data.train_pipeline import TrainingShardWriter, load_shard
+
+    gencode, builder = _mini_genome(tmp_path)
+    expression = pd.DataFrame(
+        [
+            {"gene_id": "G1.1", "donor": "D1", "tissue": "liver", "TPM": 3.0, "FPKM": 2.0},
+            {"gene_id": "G1.1", "donor": "D1", "tissue": "lung", "TPM": 0.5, "FPKM": 0.2},
+        ]
+    )
+    writer = TrainingShardWriter(
+        builders={"D1": builder},
+        expression=expression,
+        tissue_vocab={"liver": 43, "lung": 44},
+        out_dir=tmp_path / "shards",
+    )
+    written = writer.build_all(["G1.1", "G2.1"], ["D1"], max_workers=2)
+    assert len(written) == 1  # G2.1 has no labels
+    shard = load_shard(written[0])
+    assert shard["tissue_ids"].tolist() == [43, 44]
+    np.testing.assert_allclose(shard["targets"], np.log1p([3.0, 0.5]), rtol=1e-6)
+    manifest = json.loads((tmp_path / "shards" / "manifest.json").read_text())
+    assert manifest["count"] == 1
+
+
+def test_expression_report(tmp_path):
+    from variantformer_tpu.api.visualization import expression_report, tissue_group
+
+    assert tissue_group("brain - cortex") == "nervous system"
+    assert tissue_group("K562") == "cell lines"
+    assert tissue_group("liver") == "digestive"
+    out = expression_report(
+        {"GENE1": {"liver": 1.5, "brain - cortex": 0.2, "K562": 0.9}},
+        tmp_path / "report.html",
+    )
+    content = open(out).read()
+    assert "GENE1" in content and "liver" in content and "nervous system" in content
+
+
+def test_vep_chunk_guard(tmp_path):
+    from variantformer_tpu.api.variantprocessor import VariantProcessor
+
+    # Instantiating the full processor needs sources; test the path logic only.
+    path = VariantProcessor._output_path(None, str(tmp_path), 4, 2)
+    assert path.endswith("vep_chunk2_VF.parquet")
+    path1 = VariantProcessor._output_path(None, str(tmp_path), 1, 0)
+    assert path1.endswith("vep_VF.parquet")
+
+
+def test_stage_timer():
+    from variantformer_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("tokenize"):
+        pass
+    with t.stage("tokenize"):
+        pass
+    with t.stage("device"):
+        pass
+    s = t.summary()
+    assert s["tokenize"]["count"] == 2
+    assert s["device"]["count"] == 1
+
+
+def test_shard_query_across_hosts():
+    from variantformer_tpu.parallel.launch import shard_query_across_hosts
+
+    items = list(range(10))
+    parts = [shard_query_across_hosts(items, i, 3) for i in range(3)]
+    assert sorted(sum(parts, [])) == items
+    assert all(len(p) >= 3 for p in parts)

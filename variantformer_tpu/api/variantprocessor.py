@@ -160,28 +160,73 @@ class VariantProcessor:
         out = self._vp._forward(batch)
         return out
 
+    def _output_path(self, output_dir: str, chunks: int, chunk_id: int) -> str:
+        name = (
+            f"vep_chunk{chunk_id}_VF.parquet" if chunks > 1 else "vep_VF.parquet"
+        )
+        return os.path.join(output_dir, name)
+
     def predict(
         self,
         var_df: pd.DataFrame,
         output_dir: str,
         vcf_path: str | None = None,
         sample_name: str | None = None,
+        chunks: int = 1,
+        chunk_id: int = 0,
     ) -> pd.DataFrame:
+        """chunks/chunk_id partition the variant list for resumable sweeps
+        (reference variantprocessor.py:273-301): a chunk whose output file
+        already exists raises instead of recomputing."""
         assert self._vp._params is not None, "call load_model()/set_params() first"
         Path(output_dir).mkdir(parents=True, exist_ok=True)
+        out_file = self._output_path(output_dir, chunks, chunk_id)
+        if os.path.exists(out_file):
+            raise ValueError(
+                f"Variants already processed at {out_file}. To reprocess, "
+                "change the output directory or remove the existing file."
+            )
         variants = self.load_variants(var_df)
+        if chunks > 1:
+            variants = variants[chunk_id::chunks]
+            if not variants:
+                raise ValueError(f"chunk {chunk_id}/{chunks} is empty")
         self.gene_variant_pairs = self._pairs(variants, vcf_path, sample_name)
 
         builders: dict[str | None, VepSampleBuilder] = {}
+        manifests = None
         predictions = []
         for pair in self.gene_variant_pairs:
             pvcf = pair["vcf_path"]
             if pvcf not in builders:
                 builders[pvcf] = self._vep_builder(pvcf)
-            sample = builders[pvcf].build(
-                pair["variant"], pair["gene"],
-                validate_ref=(pair["sample_name"] == "hg38"),
-            )
+            # Precomputed per-population sequences (the reference's
+            # load_gene_data path) apply whenever no sample VCF backs the
+            # pair; hg38 pairs fall back to the local reference consensus
+            # when the artifacts are absent.
+            precomputed = None
+            if pvcf is None:
+                if manifests is None:
+                    from variantformer_tpu.utils import assets
+
+                    manifests = (
+                        assets.cre_sequences_manifest(),
+                        assets.gene_sequences_manifest(),
+                    )
+                precomputed = (pair["population"], *manifests)
+            try:
+                sample = builders[pvcf].build(
+                    pair["variant"], pair["gene"],
+                    validate_ref=(pair["sample_name"] == "hg38"),
+                    precomputed=precomputed,
+                )
+            except Exception as exc:  # artifacts absent/offline (s3fs, manifest)
+                if precomputed is not None and pair["sample_name"] == "hg38":
+                    sample = builders[pvcf].build(
+                        pair["variant"], pair["gene"], validate_ref=True
+                    )
+                else:
+                    raise
             if not sample.samples:
                 predictions.append(
                     dict(variant_type=sample.variant_type, out=None)
@@ -190,12 +235,15 @@ class VariantProcessor:
             out = self._forward_triple(sample, pair["variant"].tissue)
             predictions.append(dict(variant_type=sample.variant_type, out=out))
 
-        df = self.compile_predictions(predictions, output_dir, vcf_path=vcf_path)
+        df = self.compile_predictions(
+            predictions, output_dir, vcf_path=vcf_path, out_file=out_file
+        )
         return df
 
     # -- output assembly ----------------------------------------------------
     def compile_predictions(
-        self, predictions: list[dict], output_dir: str, vcf_path=None
+        self, predictions: list[dict], output_dir: str, vcf_path=None,
+        out_file: str | None = None,
     ) -> pd.DataFrame:
         emb_dim = self.config.seq2gene.emb_dim
         rows = {
@@ -241,7 +289,8 @@ class VariantProcessor:
                 (df["zygosity"] != "0")
                 | ((df["zygosity"] == "0") & (df["population"] == "REF_HG38"))
             ].reset_index(drop=True)
-        out_file = os.path.join(output_dir, "vep_VF.parquet")
+        if out_file is None:
+            out_file = os.path.join(output_dir, "vep_VF.parquet")
         try:
             df.to_parquet(out_file)
             log.info("Predictions saved to %s", out_file)

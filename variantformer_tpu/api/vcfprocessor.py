@@ -73,6 +73,9 @@ class VCFProcessor:
         config_path: str | None = None,
         impl: str = "xla",
     ):
+        from variantformer_tpu.utils.jax_setup import enable_cache
+
+        enable_cache()
         self.model_class = model_class
         self.config = config or load_model_config(config_path, model_class)
         self.sources = (sources or DataSources()).resolve_defaults()

@@ -160,11 +160,87 @@ class VepSampleBuilder:
             gene_tok_len=np.asarray(gene_lens, np.int32),
         )
 
-    # -- main entry ---------------------------------------------------------
-    def build(self, variant: Variant, gene_info: dict, validate_ref: bool = True) -> VepSample:
+    # -- precomputed population sequences (manifest-backed) -----------------
+    def _load_precomputed(
+        self, gene_info: dict, population: str,
+        cre_seq_manifest, gene_seq_manifest,
+    ) -> tuple[pd.DataFrame, dict]:
+        """Load per-population CRE/gene sequences from the reference's
+        precomputed artifacts (vepdataset.py:245-276 and _map_files):
+        a per-chromosome CRE pickle subset to the gene's CRE span, and a
+        per-gene npz with the forward,reverse sequence string."""
         gene_id = gene_info["gene_id"]
-        cre_df = self._cre_sequences(gene_id, gene_info)
-        gene = self._gene_sequence(gene_info)
+        chrom = gene_info["chromosome"]
+        nb = self.cfg.cre_neighbour_hood
+
+        cre_path = cre_seq_manifest.get_file_path(chrom, population)
+        if cre_path is None:
+            raise KeyError(f"no precomputed CREs for {chrom}/{population}")
+        all_cres = pd.read_pickle(cre_path, compression="gzip")
+        all_cres = all_cres.rename(columns={"start": "start_cre", "end": "end_cre"})
+
+        cre_map = self.b.cre_map_provider(gene_id).sort_values("start_cre")
+        first = int(cre_map.iloc[0]["start_cre"]) - nb
+        last = int(cre_map.iloc[-1]["end_cre"]) + nb
+        lo = all_cres["start_cre"].searchsorted(first, side="left")
+        hi = all_cres["end_cre"].searchsorted(last, side="right") - 1
+        df = all_cres.iloc[lo : hi + 1].reset_index(drop=True)
+        rename = {}
+        for col in df.columns:
+            if col.endswith("_sequence"):
+                rename[col] = "sequence"
+            if col.endswith("cre_name") or col == "cCRE":
+                rename[col] = "cCRE"
+        df = df.rename(columns=rename)
+        rows = []
+        for _, row in df.iterrows():
+            seq = str(row["sequence"]).split(",")[0]
+            rows.append(
+                {
+                    "start_cre": int(row["start_cre"]),
+                    "end_cre": int(row["end_cre"]),
+                    "sequence": seq,
+                    "cCRE": row.get("cCRE", "PLS"),
+                    "strand": gene_info["strand"],
+                }
+            )
+        cre_df = pd.DataFrame(rows)
+        if gene_info["strand"] == "-":
+            cre_df = cre_df.iloc[::-1].reset_index(drop=True)
+
+        gene_path = gene_seq_manifest.get_file_path(gene_id, population)
+        if gene_path is None:
+            raise KeyError(f"no precomputed gene sequence for {gene_id}/{population}")
+        data = np.load(gene_path, allow_pickle=True)
+        gene_dict = {key: str(data[key]) for key in data.files}
+        w_start, w_end = self.b.gene_window(gene_info)
+        fwd = gene_dict["sequence"].split(",")[0]
+        if len(fwd) != (w_end - w_start):
+            raise ValueError(
+                f"gene sequence length mismatch: {len(fwd)} != {w_end - w_start}"
+            )
+        return cre_df, {
+            "sequence": fwd,
+            "start": w_start,
+            "end": w_end,
+            "strand": gene_info["strand"],
+        }
+
+    # -- main entry ---------------------------------------------------------
+    def build(
+        self,
+        variant: Variant,
+        gene_info: dict,
+        validate_ref: bool = True,
+        precomputed: tuple | None = None,  # (population, cre_manifest, gene_manifest)
+    ) -> VepSample:
+        gene_id = gene_info["gene_id"]
+        if precomputed is not None:
+            population, cre_m, gene_m = precomputed
+            cre_df, gene = self._load_precomputed(gene_info, population, cre_m, gene_m)
+        else:
+            cre_df = self._cre_sequences(gene_id, gene_info)
+            gene = self._gene_sequence(gene_info)
         strand = gene_info["strand"]
 
         # --- apply to CREs ---
