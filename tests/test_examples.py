@@ -1,0 +1,59 @@
+"""Run every example flow end-to-end in synthetic mode on the CPU mesh."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+
+@pytest.fixture(autouse=True)
+def _examples_on_path(monkeypatch, tmp_path):
+    monkeypatch.syspath_prepend(str(EXAMPLES))
+    # each test gets an isolated synthetic env dir
+    import _common
+
+    original = _common.build_processor
+    monkeypatch.setattr(
+        _common, "build_processor",
+        lambda synthetic_root=None: original(str(tmp_path / "env")),
+    )
+    yield
+    for mod in ("vcf2exp", "variant2exp", "vcf2risk", "vcf2embed", "eqtl_analysis", "_common"):
+        sys.modules.pop(mod, None)
+
+
+def test_vcf2exp_example():
+    import vcf2exp
+
+    out = vcf2exp.main()
+    assert len(out) == 2
+
+
+def test_variant2exp_example():
+    import variant2exp
+
+    eqtl = variant2exp.main()
+    assert any("log2fc" in c for c in eqtl.columns)
+
+
+def test_vcf2risk_example():
+    import vcf2risk
+
+    out = vcf2risk.main()
+    assert "ad_risk" in out.columns
+
+
+def test_vcf2embed_example():
+    import vcf2embed
+
+    df = vcf2embed.main()
+    assert {"x", "y"}.issubset(df.columns)
+
+
+def test_eqtl_analysis_example():
+    import eqtl_analysis
+
+    scored = eqtl_analysis.main()
+    assert len(scored) >= 1

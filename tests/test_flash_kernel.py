@@ -98,3 +98,24 @@ def test_model_forward_pallas_matches_xla():
         np.asarray(out_xla.pred_expression),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_flash_attention_differentiable():
+    """Gradients flow through the pallas path (custom VJP via oracle recompute)."""
+    keys = jax.random.split(jax.random.key(9), 3)
+    b, s, heads, dim = 2, 32, 2, 16
+    q, k, v = (_rand(keys[i], (b, s, heads, dim)) for i in range(3))
+    kv_len = jnp.asarray([32, 20], jnp.int32)
+    slopes = jnp.asarray(alibi_slopes(heads))
+    scale = dim ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash.self_attention(q, k, v, kv_len, slopes, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn_xla.self_attention(q, k, v, kv_len, slopes, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)

@@ -246,16 +246,53 @@ def flash_attention(
     return out.transpose(0, 1, 3, 2, 4)             # [B, T, Sq, H, D]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash_diff(q, k, v, kv_len, slopes, scale):
+    return flash_attention(q, k, v, kv_len, slopes, scale)
+
+
+def _flash_diff_fwd(q, k, v, kv_len, slopes, scale):
+    out = flash_attention(q, k, v, kv_len, slopes, scale)
+    return out, (q, k, v, kv_len, slopes)
+
+
+def _flash_diff_bwd(scale, residuals, g):
+    """Backward by recomputation through the dense oracle (exact same math;
+    trades HBM for a second attention pass — the standard flash trade)."""
+    from variantformer_tpu.ops import attention as attn_xla
+
+    q, k, v, kv_len, slopes = residuals
+
+    def ref(q, k, v):
+        b, t, sq, h, d = q.shape
+        out = attn_xla._attend(
+            q.reshape(b * t, sq, h, d),
+            jnp.repeat(k, t, axis=0) if t > 1 else k,
+            jnp.repeat(v, t, axis=0) if t > 1 else v,
+            jnp.repeat(kv_len, t) if t > 1 else kv_len,
+            slopes, scale,
+        )
+        return out.reshape(b, t, sq, h, d)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def self_attention(q, k, v, kv_len, slopes, scale):
-    """Drop-in for ops.attention.self_attention: q/k/v [B, S, H, D]."""
-    out = flash_attention(q[:, None], k, v, kv_len, slopes, scale)
+    """Drop-in for ops.attention.self_attention: q/k/v [B, S, H, D].
+    Differentiable: backward recomputes through the XLA oracle."""
+    out = _flash_diff(q[:, None], k, v, kv_len, slopes, scale)
     return out[:, 0]
 
 
 def cross_attention(q, k, v, q_len, kv_len, scale):
     """Drop-in for ops.attention.cross_attention: q/k/v [B, S*, H, D]."""
     del q_len
-    out = flash_attention(q[:, None], k, v, kv_len, None, scale)
+    out = _flash_diff(q[:, None], k, v, kv_len, None, scale)
     return out[:, 0]
 
 
@@ -267,5 +304,5 @@ def cross_attention_shared_kv(q, k, v, kv_len, scale):
     cross-attention — K/V then stream from HBM once per query block instead
     of once per (tissue, q block)."""
     b, t, sq, h, d = q.shape
-    out = flash_attention(q.reshape(b, 1, t * sq, h, d), k, v, kv_len, None, scale)
+    out = _flash_diff(q.reshape(b, 1, t * sq, h, d), k, v, kv_len, None, scale)
     return out.reshape(b, t, sq, h, d)
