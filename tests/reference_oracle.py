@@ -186,6 +186,18 @@ def install_reference_stubs():
     pybedtools.BedTool = object
     sys.modules["pybedtools"] = pybedtools
 
+    duckdb = types.ModuleType("duckdb")
+    duckdb.connect = None  # only imported, never used in the tested paths
+    sys.modules["duckdb"] = duckdb
+
+    fsspec_ok = True
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        fsspec_ok = False
+    if not fsspec_ok:
+        sys.modules["fsspec"] = types.ModuleType("fsspec")
+
     sys.path.insert(0, str(REFERENCE_ROOT))
     _installed = True
 

@@ -129,3 +129,18 @@ def test_shard_query_across_hosts():
     parts = [shard_query_across_hosts(items, i, 3) for i in range(3)]
     assert sorted(sum(parts, [])) == items
     assert all(len(p) >= 3 for p in parts)
+
+
+def test_anatomagram_svg(tmp_path):
+    from variantformer_tpu.api.anatomagram import anatomagram_html, anatomagram_svg
+
+    values = {
+        "liver": 2.0, "brain - cortex": 0.5, "lung": 1.0,
+        "kidney - cortex": 0.8, "K562": 0.3, "whole blood": 1.4,
+    }
+    svg = anatomagram_svg(values)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "liver" in svg and "K562" in svg  # organ + legend-only entries
+    out = anatomagram_html({"APOE": values}, tmp_path / "a.html")
+    content = open(out).read()
+    assert "APOE" in content and "<svg" in content

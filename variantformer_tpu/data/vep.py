@@ -213,7 +213,18 @@ class VepSampleBuilder:
             raise KeyError(f"no precomputed gene sequence for {gene_id}/{population}")
         data = np.load(gene_path, allow_pickle=True)
         gene_dict = {key: str(data[key]) for key in data.files}
-        w_start, w_end = self.b.gene_window(gene_info)
+        # Window arithmetic of the reference's precomputed path
+        # (vepdataset.py:262-275): on '+' the downstream cap is measured from
+        # the *original* gene start — unlike the VCF/consensus path, which
+        # measures from the upstream-extended start (data_process.py:394-400).
+        # The two differ only for genes longer than down-up bp.
+        start, end = int(gene_info["start"]), int(gene_info["end"])
+        up = self.cfg.gene_upstream_neighbour_hood
+        down = self.cfg.gene_downstream_neighbour_hood
+        if gene_info["strand"] == "-":
+            w_start, w_end = max(start, end - down), end + up
+        else:
+            w_start, w_end = max(0, start - up), min(end, start + down)
         fwd = gene_dict["sequence"].split(",")[0]
         if len(fwd) != (w_end - w_start):
             raise ValueError(
