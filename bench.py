@@ -35,7 +35,7 @@ def main():
     from variantformer_tpu.models.init import init_seq2gene
     from variantformer_tpu.models.seq2gene import seq2gene_forward
 
-    impl = os.environ.get("VFX_BENCH_IMPL", "xla")
+    impl = os.environ.get("VFX_BENCH_IMPL", "fused")
     cfg = ModelConfig()
     params = init_seq2gene(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     batch = _example_batch(

@@ -229,4 +229,4 @@ def test_vep_end_to_end(fixture_env, tmp_path):
     hom = scores["REF_HG38-2-exp"].to_numpy()
     expected = np.log2((hom + 1e-10) / (ref0 + 1e-10))
     got = eqtl["VF-REF_HG38-2-exp-log2fc"].to_numpy()
-    np.testing.assert_allclose(got, expected, rtol=1e-3)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-6)

@@ -43,7 +43,7 @@ class VariantProcessor:
         model_class: str = "v4_pcg",
         sources: DataSources | None = None,
         config=None,
-        impl: str = "xla",
+        impl: str = "fused",
     ):
         # Reuse VCFProcessor for config/vocab/model plumbing.
         self._vp = VCFProcessor(

@@ -71,7 +71,7 @@ class VCFProcessor:
         sources: DataSources | None = None,
         config: ModelConfig | None = None,
         config_path: str | None = None,
-        impl: str = "xla",
+        impl: str = "fused",
     ):
         from variantformer_tpu.utils.jax_setup import enable_cache
 
@@ -191,6 +191,29 @@ class VCFProcessor:
         if not rows:
             raise ValueError("No valid (gene, tissue) rows in query")
         return pd.DataFrame(rows)
+
+    def create_data(self, vcf_path: str | None, query_df: pd.DataFrame):
+        """Reference-compatible surface (vcfprocessor.py:224-247): returns
+        (dataset, loader) where the dataset is the validated query plus a
+        sample builder, and the loader lazily yields (row, GeneSample)."""
+        query = self.validate_query(query_df)
+        builder = GeneSampleBuilder(
+            cfg=self.config.dataset,
+            fasta=FastaReader(self.sources.fasta_path),
+            tokenizer=self.tokenizer,
+            gencode=self._load_gencode(),
+            cre_map_provider=(
+                self.sources.cre_map_provider
+                or self.sources.default_cre_map_provider()
+            ),
+            vcf=VCFReader(vcf_path) if vcf_path else None,
+        )
+
+        def loader():
+            for _, row in query.iterrows():
+                yield row, builder.build(row["gene_id"])
+
+        return (query, builder), loader()
 
     # -- model --------------------------------------------------------------
     def load_model(self, param_dtype=None):

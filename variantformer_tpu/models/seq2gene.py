@@ -151,6 +151,8 @@ def seq2gene_forward(
     t = batch.tissue_ids.shape[0]
     e = mcfg.emb_dim
 
+    # impl="fused" applies the whole-encoder kernel to the window stage and
+    # keeps the modulator on the XLA path (its streams are cross-coupled).
     enc_spec = AttnSpec(
         num_heads=wcfg.num_heads,
         head_dim=wcfg.embedding_dim // wcfg.num_heads,
@@ -159,7 +161,7 @@ def seq2gene_forward(
     mod_spec = AttnSpec(
         num_heads=mcfg.num_heads,
         head_dim=mcfg.emb_dim // mcfg.num_heads,
-        impl=impl,
+        impl="xla" if impl == "fused" else impl,
     )
 
     # === 1. Window encoding (frozen tokenizers), per donor ===

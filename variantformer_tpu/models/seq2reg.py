@@ -75,6 +75,17 @@ def encode_windows(
         pe = jnp.asarray(sinusoidal_position_encoding(cfg.embedding_dim, length))
         x = x + pe.astype(compute_dtype)
 
+    if spec.impl == "fused" and not cfg.use_context:
+        # Whole-encoder Pallas kernel: weights VMEM-resident, activations
+        # never round-trip HBM between layers (ops/fused_encoder.py).
+        from variantformer_tpu.ops.fused_encoder import fused_window_encoder
+
+        if cfg.seq_pool != "mean":
+            raise NotImplementedError("fused encoder implements mean pooling")
+        return fused_window_encoder(
+            x, tok_len, params["layers"], slopes, spec.scale, cfg.num_heads
+        ).astype(compute_dtype)
+
     if cfg.use_context:
         ctx_vec = params["context_embedding"][context].astype(compute_dtype)  # [N, E]
 

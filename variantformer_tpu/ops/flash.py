@@ -181,8 +181,10 @@ def flash_attention(
     qt = _pad_to(q.transpose(0, 1, 3, 2, 4), 4, d_pad)   # [B, T, H, Sq, D]
     kt = _pad_to(k.transpose(0, 2, 1, 3), 3, d_pad)      # [B, H, Sk, D]
     vt = _pad_to(v.transpose(0, 2, 1, 3), 3, d_pad)
-    block_q = min(block_q, -(-sq // 16) * 16)
-    block_k = min(block_k, -(-sk // 128) * 128)
+    # Single fat block when the sequence fits; otherwise 128-blocks (divides
+    # everything after rounding, minimizing padded garbage rows).
+    block_q = -(-sq // 16) * 16 if sq <= block_q else 128
+    block_k = -(-sk // 128) * 128 if sk <= block_k else 128
     qt = _pad_to(qt, 3, block_q)
     kt = _pad_to(kt, 2, block_k)
     vt = _pad_to(vt, 2, block_k)
