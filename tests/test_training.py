@@ -109,3 +109,37 @@ def test_train_step_reduces_loss_and_freezes_tokenizer():
     assert not np.allclose(
         np.asarray(state.params["gene_map"]["w"]), np.asarray(params["gene_map"]["w"])
     )
+
+
+def test_remat_matches_and_trains():
+    """jax.checkpoint-wrapped layer scans: identical forward, working grads."""
+    import dataclasses
+
+    from tests.test_model_smoke import tiny_batch, tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+    from variantformer_tpu.train.steps import seq2gene_loss_fn
+
+    # only_cross_attention=False (the shipped wiring): with cross-only gene
+    # layers, gene windows cannot reach the registry token and gene_map grads
+    # are legitimately zero.
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, seq2gene=dataclasses.replace(cfg.seq2gene, only_cross_attention=False)
+    )
+    cfg_remat = dataclasses.replace(
+        cfg, seq2gene=dataclasses.replace(cfg.seq2gene, remat=True)
+    )
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = tiny_batch(np.random.default_rng(0))
+    out_a = seq2gene_forward(params, batch, cfg)
+    out_b = seq2gene_forward(params, batch, cfg_remat)
+    np.testing.assert_allclose(
+        np.asarray(out_a.pred_expression), np.asarray(out_b.pred_expression),
+        rtol=1e-5,
+    )
+    targets = jnp.asarray(np.random.default_rng(1).uniform(0, 3, (2, 3)), jnp.float32)
+    mask = jnp.ones((2, 3), bool)
+    g = jax.grad(seq2gene_loss_fn)(params, batch, targets, mask, cfg_remat)
+    gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g["gene_map"])))
+    assert np.isfinite(gn) and gn > 0

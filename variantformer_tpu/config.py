@@ -58,6 +58,7 @@ class Seq2GeneConfig:
     only_cross_attention: bool = True   # gene layers are cross-attention-only
     use_res: bool = False
     gene_pooling: str = "multi_registry"
+    remat: bool = False                 # checkpoint each layer in training
     use_bigger_head: bool = True
     multi_head: bool = True
     head_type: str = "mlp"

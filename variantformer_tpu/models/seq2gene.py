@@ -209,6 +209,8 @@ def seq2gene_forward(
         )
         return out, out
 
+    if mcfg.remat:
+        cre_body = jax.checkpoint(cre_body)
     cre_final, cre_steps = jax.lax.scan(cre_body, cre, params["cre_layers"])
     # Gene layer i consumes CRE intermediate i (input CRE for i=0).
     cre_intermediates = jnp.concatenate([cre[None], cre_steps], axis=0)  # [25, D, C, E]
@@ -226,6 +228,8 @@ def seq2gene_forward(
             out = out + gene_res
         return out, None
 
+    if mcfg.remat:
+        gene_body = jax.checkpoint(gene_body)
     gene_stream, _ = jax.lax.scan(
         gene_body, gene_stream, (params["gene_layers"], cre_intermediates)
     )
