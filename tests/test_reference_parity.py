@@ -269,3 +269,123 @@ def test_full_model_parity():
     np.testing.assert_allclose(np.asarray(out.pred_expression), ref_pred, rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.gene_token_embedding), ref_gene_tok, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.cre_token_embedding), ref_cre_tok, rtol=1e-3, atol=1e-4)
+
+
+def test_window_classifier_parity():
+    """Full seq2reg classification path (logits) vs the reference forward."""
+    torch.set_float32_matmul_precision("highest")
+    model = _tiny_seq2reg(tissues=5)
+    n, length = 8, 12
+    tokens = torch.randint(4, 40, (n, 1, length))
+    lens = torch.full((n,), length)
+    pad_mask = _suffix_mask(lens, length).unsqueeze(1)
+    tissue = torch.tensor([0, 1, 2, 3, 4, 0, 2, 4])
+    with torch.no_grad():
+        logits, _ = model(tokens, pad_mask, tissue, precision=None)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert.convert_window_encoder(sd, num_heads=4))
+    from variantformer_tpu.models.seq2reg import classify_windows
+
+    cfg = _wcfg()
+    spec = AttnSpec(num_heads=4, head_dim=8)
+    emb = encode_windows(
+        params, jnp.asarray(tokens[:, 0, :].numpy()), jnp.asarray(lens.numpy()),
+        jnp.zeros((n,), jnp.int32), cfg, spec, FP32,
+    )
+    ours = classify_windows(params, emb, jnp.asarray(tissue.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(ours), logits.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_model_manager_round_trip(tmp_path):
+    """Synthetic torch .pth checkpoints through the production loader:
+    ModelManager calibrates configs from hyper-parameters, converts, and the
+    loaded model matches the reference forward."""
+    import dataclasses
+
+    from seq2gene.model_combined_modulator import Seq2GenePredictorCombinedModulator
+
+    from variantformer_tpu.api.model_manager import ModelManager
+    from variantformer_tpu.config import ModelConfig
+
+    vocab, token_e, e, heads, layers, length = 40, 32, 48, 4, 2, 12
+    cre_tok = _tiny_seq2reg(vocab=vocab, e=token_e, tissues=7)
+    gene_tok = _tiny_seq2reg(vocab=vocab, e=token_e, tissues=7)
+    model = Seq2GenePredictorCombinedModulator(
+        num_tissues=7, emb_dim=e, gene_emb_dim=token_e, num_heads=heads,
+        num_layers=layers, use_alibi=True, mlp_dout=0.0, use_context=True,
+        token_dim=token_e, cre_tokenizer=cre_tok, gene_tokenizer=gene_tok,
+        gene_pooling="multi_registry", only_cross_attention=False,
+        use_bigger_head=True, multi_head=True, use_batching=True,
+        train_gene_tokenizer=True, cross_alibi=False, use_res=False,
+    ).eval()
+
+    tok_path = str(tmp_path / "tokenizer.pth")
+    torch.save(
+        {
+            "state_dict": cre_tok.state_dict(),
+            "hyper_parameters": vars(cre_tok.hparams),
+        },
+        tok_path,
+    )
+    model_path = str(tmp_path / "model.pth")
+    torch.save(
+        {
+            "state_dict": model.state_dict(),
+            "hyper_parameters": {
+                "num_tissues": 7, "emb_dim": e, "gene_emb_dim": token_e,
+                "num_heads": heads, "num_layers": layers, "use_alibi": True,
+                "use_context": True, "token_dim": token_e,
+                "gene_pooling": "multi_registry",
+                "only_cross_attention": False, "use_bigger_head": True,
+            },
+        },
+        model_path,
+    )
+
+    cfg = ModelConfig(checkpoint_path=model_path)
+    manager = ModelManager(cfg, tokenizer_checkpoint_path=tok_path)
+    loaded = manager.load_model(param_dtype=jnp.float32)
+    assert loaded.config.window_encoder.embedding_dim == token_e
+    assert loaded.config.window_encoder.num_heads == heads
+    assert loaded.config.seq2gene.emb_dim == e
+    assert loaded.config.seq2gene.only_cross_attention is False
+    assert loaded.config.window_encoder.use_context is False  # detected from weights
+
+    # forward parity against the torch model
+    import types
+
+    model.trainer = types.SimpleNamespace(precision="bf16-mixed")
+    rng = np.random.default_rng(0)
+    c, g = 3, 2
+    inp = [torch.randint(4, vocab, (c, 1, length))]
+    att = [torch.zeros(c, 1, length, dtype=torch.bool)]
+    tiss = [torch.tensor([1, 5])]
+    labels = [torch.tensor(rng.integers(0, 9, c))]
+    gene_inp = [torch.randint(4, vocab, (g, 1, length))]
+    gene_att = [torch.zeros(g, 1, length, dtype=torch.bool)]
+    with torch.no_grad():
+        pred, _, _, _, _ = model(
+            inp, att, tiss, labels, torch.zeros(1, 1, dtype=torch.long),
+            gene_inp, gene_att, return_embedding=True,
+        )
+    cfg2 = dataclasses.replace(
+        loaded.config,
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    batch = Seq2GeneBatch(
+        cre_tokens=jnp.asarray(inp[0][:, 0, :].numpy())[None],
+        cre_tok_len=jnp.full((1, c), length, jnp.int32),
+        cre_count=jnp.asarray([c], jnp.int32),
+        cre_labels=jnp.asarray(labels[0].numpy())[None],
+        gene_tokens=jnp.asarray(gene_inp[0][:, 0, :].numpy())[None],
+        gene_tok_len=jnp.full((1, g), length, jnp.int32),
+        gene_count=jnp.asarray([g], jnp.int32),
+        tissue_ids=jnp.asarray([1, 5], jnp.int32),
+    )
+    out = seq2gene_forward(loaded.params, batch, cfg2)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_expression)[0], pred.numpy().reshape(2),
+        rtol=1e-3, atol=1e-5,
+    )

@@ -325,5 +325,13 @@ class VariantProcessor:
         )
         return df_exp.dropna(subset=["REF_HG38-0-exp"]).reset_index(drop=True)
 
-    def eqtl_scores(self, df: pd.DataFrame) -> pd.DataFrame:
-        return generate_log2fc_score(df, self.sources.af_path)
+    def eqtl_scores(self, df: pd.DataFrame, score: str = "log2fc") -> pd.DataFrame:
+        """score: 'log2fc' (default, the reference's shipped scoring) or
+        'poisson' (CDF-based, reference utils/functions.py:304-354)."""
+        if score == "log2fc":
+            return generate_log2fc_score(df, self.sources.af_path)
+        if score == "poisson":
+            from variantformer_tpu.utils.scoring import generate_poisson_score
+
+            return generate_poisson_score(df, self.sources.af_path)
+        raise ValueError(f"unknown score type {score!r}")
