@@ -89,43 +89,51 @@ def genome_wide_expression(
             shards += 1
             rows = []
 
+    # Workers build AND pack whole device batches, so the main thread only
+    # dispatches to the device; packing/transfer overlaps accelerator time.
+    groups = [genes[i : i + batch_size] for i in range(0, len(genes), batch_size)]
+
+    def build_group(group):
+        samples = [s for s in (build(g) for g in group) if s is not None]
+        if not samples:
+            return None
+        with timer.stage("pack"):
+            return samples, pack_samples(samples, tissue_ids)
+
+    def drain(samples, out):
+        with timer.stage("device_sync"):
+            preds = np.asarray(out.pred_expression)  # hard sync (host transfer)
+        for i, sample in enumerate(samples):
+            for j, name in enumerate(tissues):
+                rows.append(
+                    {
+                        "gene_id": sample.gene_id,
+                        "tissue": name,
+                        "predicted_expression": float(preds[i, j]),
+                    }
+                )
+        flush()
+
+    # One-deep software pipeline: dispatch batch i+1 (async) before syncing
+    # batch i, hiding dispatch/relay latency behind device compute.
+    in_flight = None
     with ThreadPoolExecutor(max_workers=4) as pool:
-        pending = []
-        sample_iter = pool.map(build, genes, chunksize=1)
-        for gene_id, sample in zip(genes, sample_iter):
-            if sample is None:
+        for packed in pool.map(build_group, groups, chunksize=1):
+            if packed is None:
                 continue
-            pending.append(sample)
-            if len(pending) >= batch_size:
-                _run_batch(processor, pending, tissue_ids, tissues, rows, timer)
-                pending = []
-                flush()
-        if pending:
-            _run_batch(processor, pending, tissue_ids, tissues, rows, timer)
+            samples, batch = packed
+            with timer.stage("dispatch"):
+                out = processor._forward(batch)
+            if in_flight is not None:
+                drain(*in_flight)
+            in_flight = (samples, out)
+        if in_flight is not None:
+            drain(*in_flight)
     timer.log_summary("genome-wide")
     if out_path:
         flush(force=True)
         return None
     return pd.DataFrame(rows)
-
-
-def _run_batch(processor, samples, tissue_ids, tissue_names, rows, timer):
-    import jax
-
-    with timer.stage("pack"):
-        batch = pack_samples(samples, tissue_ids)
-    with timer.stage("device"):
-        out = processor._forward(batch)
-        preds = np.asarray(out.pred_expression)
-    for i, sample in enumerate(samples):
-        for j, name in enumerate(tissue_names):
-            rows.append(
-                {
-                    "gene_id": sample.gene_id,
-                    "tissue": name,
-                    "predicted_expression": float(preds[i, j]),
-                }
-            )
 
 
 def saturation_scan(
