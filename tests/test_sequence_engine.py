@@ -187,3 +187,53 @@ def test_reverse_complement_iupac():
     assert reverse_complement("ACGT") == "ACGT"
     assert reverse_complement("RYSWKM") == "KMWSRY"
     assert reverse_complement("acgtN-") == "-Nacgt"
+
+
+def test_native_consensus_matches_python(tmp_path):
+    """Property test: the C++ consensus agrees with the Python engine on
+    random variant sets (SNPs + indels, het/hom, both filters)."""
+    from variantformer_tpu.utils.native import get_seq_library
+
+    if get_seq_library() is None:
+        pytest.skip("native sequence library not built")
+    rng = np.random.default_rng(7)
+    n = 4000
+    genome = "".join(rng.choice(list("ACGT"), n))
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, {"chr1": genome}, width=73)
+
+    records = []
+    pos = 10
+    while pos < n - 10:
+        kind = rng.choice(["snp", "ins", "del", "homref"])
+        ref = genome[pos - 1]
+        if kind == "snp":
+            alt = rng.choice([b for b in "ACGT" if b != ref])
+            gt = rng.choice(["0|1", "1|1", "1|0"])
+        elif kind == "ins":
+            alt = ref + "".join(rng.choice(list("ACGT"), rng.integers(1, 4)))
+            gt = rng.choice(["0/1", "1/1"])
+        elif kind == "del":
+            ref = genome[pos - 1 : pos - 1 + int(rng.integers(2, 5))]
+            alt = ref[0]
+            gt = rng.choice(["0|1", "1|1"])
+        else:
+            alt = rng.choice([b for b in "ACGT" if b != ref])
+            gt = "0|0"
+        records.append(("chr1", pos, ref, alt, gt))
+        pos += int(rng.integers(5, 40))
+    vcf = tmp_path / "s.vcf"
+    _write_vcf(vcf, records)
+
+    fasta = FastaReader(fa)
+    reader = VCFReader(str(vcf))
+    native_engine = ConsensusEngine(fasta, reader, use_native=True)
+    py_engine = ConsensusEngine(fasta, reader, use_native=False)
+    for _ in range(30):
+        a = int(rng.integers(0, n - 100))
+        b = a + int(rng.integers(20, 600))
+        for snps_only in (False, True):
+            sn, cn = native_engine.consensus("chr1", a, b, snps_only)
+            sp, cp = py_engine.consensus("chr1", a, b, snps_only)
+            assert sn == sp, f"region {a}:{b} snps_only={snps_only}"
+            assert cn == cp

@@ -20,10 +20,13 @@ log = logging.getLogger(__name__)
 
 NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 LIB_PATH = NATIVE_DIR / "build" / "libvfxbpe.so"
+SEQ_LIB_PATH = NATIVE_DIR / "build" / "libvfxseq.so"
 
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
+_seq_lib = None
+_seq_lib_failed = False
 
 
 def _build_library() -> bool:
@@ -71,6 +74,81 @@ def get_library():
         ]
         _lib = lib
         return _lib
+
+
+def get_seq_library():
+    """Load (building if necessary) the native sequence library, or None."""
+    global _seq_lib, _seq_lib_failed
+    with _lock:
+        if _seq_lib is not None or _seq_lib_failed:
+            return _seq_lib
+        if not SEQ_LIB_PATH.exists() and os.environ.get("VFX_NO_NATIVE") != "1":
+            _build_library()
+        if not SEQ_LIB_PATH.exists():
+            _seq_lib_failed = True
+            return None
+        lib = ctypes.CDLL(str(SEQ_LIB_PATH))
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        lib.vfx_consensus.restype = ctypes.c_int64
+        lib.vfx_consensus.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, i64p, ctypes.c_char_p, i64p, i64p, i64p,
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.vfx_reverse_complement.restype = None
+        lib.vfx_reverse_complement.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+        ]
+        _seq_lib = lib
+        return _seq_lib
+
+
+def native_consensus(
+    seq: str, region_start: int, variants, snps_only: bool
+) -> tuple[str, int] | None:
+    """C++ consensus over [region_start, region_start+len(seq)).
+    ``variants``: iterable of VcfVariant. Returns None if unavailable."""
+    lib = get_seq_library()
+    if lib is None:
+        return None
+    variants = list(variants)
+    n = len(variants)
+    pos = np.asarray([v.pos for v in variants], np.int64)
+    # Per-field contiguous blobs: each allele i spans off[i]..off[i+1].
+    refs = [v.ref.encode() for v in variants]
+    a0s = [v.alleles[0].encode() for v in variants]
+    a1s = [v.alleles[1].encode() for v in variants]
+    field_blob = b"".join(refs) + b"".join(a0s) + b"".join(a1s)
+    r_off = np.zeros(n + 1, np.int64)
+    z_off = np.zeros(n + 1, np.int64)
+    o_off = np.zeros(n + 1, np.int64)
+    acc = 0
+    for i, b in enumerate(refs):
+        r_off[i] = acc
+        acc += len(b)
+    r_off[n] = acc
+    for i, b in enumerate(a0s):
+        z_off[i] = acc
+        acc += len(b)
+    z_off[n] = acc
+    for i, b in enumerate(a1s):
+        o_off[i] = acc
+        acc += len(b)
+    o_off[n] = acc
+
+    seq_b = seq.encode()
+    max_out = len(seq_b) + sum(len(b) for b in a0s + a1s) + 16
+    out = ctypes.create_string_buffer(max_out)
+    applied = ctypes.c_int32(0)
+    written = lib.vfx_consensus(
+        seq_b, len(seq_b), region_start, n, pos, field_blob,
+        r_off, z_off, o_off, int(snps_only), out, max_out,
+        ctypes.byref(applied),
+    )
+    if written < 0:
+        return None
+    return out.raw[:written].decode(), applied.value
 
 
 class NativeBPE:

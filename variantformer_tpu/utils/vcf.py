@@ -144,11 +144,17 @@ class VCFReader:
 
 
 class ConsensusEngine:
-    """Applies diploid genotypes to reference slices as IUPAC consensus."""
+    """Applies diploid genotypes to reference slices as IUPAC consensus.
 
-    def __init__(self, fasta: FastaReader, vcf: VCFReader | None = None):
+    The hot loop runs in C++ (native/consensus.cpp) when the native library
+    is built; the Python implementation below is the reference fallback and
+    differential-test oracle."""
+
+    def __init__(self, fasta: FastaReader, vcf: VCFReader | None = None,
+                 use_native: bool | None = None):
         self.fasta = fasta
         self.vcf = vcf
+        self.use_native = use_native is not False
 
     def consensus(
         self, chrom: str, start: int, end: int, snps_only: bool = False
@@ -160,6 +166,12 @@ class ConsensusEngine:
         variants = self.vcf.query(chrom, start, end)
         if not variants:
             return seq, 0
+        if self.use_native:
+            from variantformer_tpu.utils.native import native_consensus
+
+            result = native_consensus(seq, start, variants, snps_only)
+            if result is not None:
+                return result
         out = []
         cursor = 0  # position within the region slice
         applied = 0
