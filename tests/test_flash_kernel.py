@@ -119,3 +119,35 @@ def test_flash_attention_differentiable():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_under_head_sharded_shard_map():
+    """TP pattern: the flash kernel runs per-shard under jax.shard_map with
+    heads split across the 'model' axis (check_vma=False required for
+    pallas out_shapes in jax 0.9)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = np.asarray(jax.devices()[:4])
+    if devices.size < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(devices.reshape(4), ("model",))
+    b, s, heads, dim = 2, 32, 8, 16
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (jax.random.normal(ks[i], (b, s, heads, dim)) for i in range(3))
+    kv_len = jnp.full((b,), s, jnp.int32)
+    slopes = jnp.asarray(alibi_slopes(heads))
+    scale = dim ** -0.5
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(None, None, "model", None),) * 3 + (P(), P("model")),
+        out_specs=P(None, None, "model", None),
+    )
+    def sharded(q, k, v, kv_len, slopes):
+        return flash.self_attention(q, k, v, kv_len, slopes, scale)
+
+    out = sharded(q, k, v, kv_len, slopes)
+    ref = attn_xla.self_attention(q, k, v, kv_len, slopes, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -26,8 +26,26 @@ BUCKET = "czi-variantformer"
 
 @dataclasses.dataclass(frozen=True)
 class Artifact:
-    remote_key: str   # bucket-relative S3 key
+    remote_key: str   # bucket-relative S3 key, or a full http(s) URL
     local_path: str   # path under the artifacts dir
+
+    @property
+    def is_url(self) -> bool:
+        return self.remote_key.startswith("http")
+
+
+# Vocabulary/config data files ship in the reference's git repo (not the S3
+# bucket); fetch them from raw.githubusercontent for standalone deployments.
+_REF_RAW = "https://raw.githubusercontent.com/czi-ai/variantformer/main"
+VOCAB_ARTIFACTS = [
+    Artifact(f"{_REF_RAW}/vocabs/bpe_vocabulary_500.json",
+             "vocabs/bpe_vocabulary_500.json"),
+    Artifact(f"{_REF_RAW}/vocabs/bpe_vocabulary_500_using_huggingface.json",
+             "vocabs/bpe_vocabulary_500_using_huggingface.json"),
+    Artifact(f"{_REF_RAW}/vocabs/tissue_vocab.yaml", "vocabs/tissue_vocab.yaml"),
+    Artifact(f"{_REF_RAW}/vocabs/tissue_prob.yaml", "vocabs/tissue_prob.yaml"),
+    Artifact(f"{_REF_RAW}/vocabs/dataset_vocab.yaml", "vocabs/dataset_vocab.yaml"),
+]
 
 
 def _af_tables():
@@ -72,19 +90,28 @@ ARTIFACTS: list[Artifact] = [
         "reference_genomes/data/hg38/genes/data/ENSG00000130203.9_hg38.npz",
     ),
     *_af_tables(),
+    *VOCAB_ARTIFACTS,
 ]
 
 
 def download(only: str | None = None, dest: str | None = None) -> list[str]:
     fetcher = CachedFetcher(bucket=BUCKET, tmp_dir=dest or artifacts_dir())
 
-    def transport_factory(remote_key):
+    def transport_factory(art: Artifact):
         def transport(rel, dst_tmp):
             import shutil
 
+            if art.is_url:
+                import urllib.request
+
+                with urllib.request.urlopen(art.remote_key) as src, open(
+                    dst_tmp, "wb"
+                ) as out:
+                    shutil.copyfileobj(src, out)
+                return
             import fsspec
 
-            with fsspec.open(f"s3://{BUCKET}/{remote_key}", "rb", anon=True) as src, \
+            with fsspec.open(f"s3://{BUCKET}/{art.remote_key}", "rb", anon=True) as src, \
                     open(dst_tmp, "wb") as out:
                 shutil.copyfileobj(src, out)
         return transport
@@ -93,7 +120,7 @@ def download(only: str | None = None, dest: str | None = None) -> list[str]:
     for art in ARTIFACTS:
         if only and only not in art.remote_key and only not in art.local_path:
             continue
-        fetcher._transport = transport_factory(art.remote_key)
+        fetcher._transport = transport_factory(art)
         path = fetcher.get(art.local_path)
         log.info("ok %s", path)
         done.append(path)
