@@ -237,3 +237,41 @@ def test_native_consensus_matches_python(tmp_path):
             sp, cp = py_engine.consensus("chr1", a, b, snps_only)
             assert sn == sp, f"region {a}:{b} snps_only={snps_only}"
             assert cn == cp
+
+
+def test_tabix_round_trip(tmp_path):
+    """write_tbi + indexed VCFReader queries match full-scan queries over
+    random regions on a multi-chromosome VCF."""
+    from variantformer_tpu.utils.tabix import TabixIndex, write_tbi
+
+    rng = np.random.default_rng(11)
+    records = []
+    for chrom in ("chr1", "chr2"):
+        pos = 100
+        while pos < 200_000:
+            ref = "ACGT"[rng.integers(4)]
+            alt = "ACGT"[rng.integers(4)]
+            if ref != alt:
+                records.append((chrom, pos, ref, alt,
+                                ["0|1", "1|1", "0|0"][rng.integers(3)]))
+            pos += int(rng.integers(50, 2000))
+    vcf = tmp_path / "big.vcf.gz"
+    _write_vcf(vcf, records, bgzf=True)
+    tbi = write_tbi(str(vcf))
+    assert tbi.endswith(".tbi")
+    idx = TabixIndex(tbi)
+    assert set(idx.names) == {"chr1", "chr2"}
+
+    indexed = VCFReader(str(vcf))
+    full = VCFReader(str(vcf), use_index=False)
+    assert indexed._index is not None, "index must be active"
+    assert full._index is None
+    for _ in range(40):
+        chrom = ["chr1", "chr2"][rng.integers(2)]
+        a = int(rng.integers(0, 200_000))
+        b = a + int(rng.integers(1, 30_000))
+        vi = indexed.query(chrom, a, b)
+        vf = full.query(chrom, a, b)
+        assert [(v.pos, v.ref, v.alleles) for v in vi] == \
+               [(v.pos, v.ref, v.alleles) for v in vf], f"{chrom}:{a}-{b}"
+    assert indexed.query("chrX", 0, 1000) == []

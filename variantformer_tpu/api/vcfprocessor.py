@@ -128,7 +128,7 @@ class VCFProcessor:
         records = []
         sample_name = "SAMPLE"
         if vcf_path is not None:
-            existing = VCFReader(vcf_path)
+            existing = VCFReader(vcf_path, use_index=False)  # need the full table
             sample_name = existing.sample_names[0] if existing.sample_names else "SAMPLE"
             for chrom, (positions, variants) in existing._by_chrom.items():
                 for pos, var in zip(positions, variants):
@@ -164,7 +164,10 @@ class VCFProcessor:
         final = output_path if output_path.endswith(".vcf.gz") else output_path + ".vcf.gz"
         Path(final).parent.mkdir(parents=True, exist_ok=True)
         write_bgzf(final, ("\n".join(lines) + "\n").encode())
-        log.info("Wrote VCF %s (%d records)", final, len(df))
+        from variantformer_tpu.utils.tabix import write_tbi
+
+        write_tbi(final)
+        log.info("Wrote VCF %s (%d records) + .tbi", final, len(df))
         return final
 
     # -- query validation ---------------------------------------------------

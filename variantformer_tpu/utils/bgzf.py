@@ -176,5 +176,53 @@ class BGZFReader:
         if buf:
             yield buf
 
+    def stream_lines_with_voffsets(self):
+        """Like stream_lines but yields (virtual_offset, line): the BGZF
+        virtual offset (compressed_block_offset << 16 | within_block_offset)
+        of each line's first byte — the tabix addressing scheme."""
+        carry = b""
+        carry_voff = 0
+        for idx in range(len(self._coffs)):
+            data = self._read_block(idx)
+            coff = self._coffs[idx]
+            pos = 0
+            while True:
+                nl = data.find(b"\n", pos)
+                if nl == -1:
+                    rest = data[pos:]
+                    if rest:
+                        if not carry:
+                            carry_voff = (coff << 16) | pos
+                        carry += rest
+                    break
+                if carry:
+                    yield carry_voff, carry + data[pos:nl]
+                    carry = b""
+                else:
+                    yield (coff << 16) | pos, data[pos:nl]
+                pos = nl + 1
+        if carry:
+            yield carry_voff, carry
+
+    def read_lines_from_voffset(self, voffset: int):
+        """Iterate lines starting at a BGZF virtual offset."""
+        coff = voffset >> 16
+        within = voffset & 0xFFFF
+        idx = bisect.bisect_left(self._coffs, coff)
+        if idx >= len(self._coffs) or self._coffs[idx] != coff:
+            raise ValueError(f"virtual offset {voffset} not at a block boundary")
+        buf = b""
+        first = True
+        for i in range(idx, len(self._coffs)):
+            data = self._read_block(i)
+            if first:
+                data = data[within:]
+                first = False
+            buf += data
+            *lines, buf = buf.split(b"\n")
+            yield from lines
+        if buf:
+            yield buf
+
     def close(self):
         self._fh.close()

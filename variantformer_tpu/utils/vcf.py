@@ -47,13 +47,76 @@ class VcfVariant:
 
 
 class VCFReader:
-    """Single-sample VCF parsed into per-chromosome sorted variant lists."""
+    """Single-sample VCF with region queries.
 
-    def __init__(self, path: str, sample: str | None = None):
+    Two modes: with a tabix index (.tbi) next to a BGZF VCF, queries seek
+    directly to the indexed blocks (no full parse); otherwise the file is
+    parsed once into per-chromosome sorted variant lists."""
+
+    def __init__(self, path: str, sample: str | None = None,
+                 use_index: bool | None = None):
         self.path = path
         self.sample_names: list[str] = []
         self._by_chrom: dict[str, tuple[list[int], list[VcfVariant]]] = {}
+        self._index = None
+        self._bgzf = None
+        self._sample_idx = None
+        indexable = (
+            use_index is not False
+            and path.endswith(".gz")
+            and is_bgzf(path)
+            and __import__("os").path.exists(path + ".tbi")
+        )
+        if indexable:
+            try:
+                from variantformer_tpu.utils.tabix import TabixIndex
+
+                self._index = TabixIndex(path + ".tbi")
+                self._bgzf = BGZFReader(path)
+                self._parse_header(sample)
+                return
+            except Exception as exc:
+                log.warning("tabix index unusable (%s); falling back to scan", exc)
+                self._index = None
         self._parse(sample)
+
+    # -- indexed mode ------------------------------------------------------
+    def _parse_header(self, sample: str | None):
+        for line in self._bgzf.stream_lines():
+            if line.startswith(b"##"):
+                continue
+            if line.startswith(b"#CHROM"):
+                header = line.decode().split("\t")
+                self.sample_names = header[9:]
+                if sample is not None:
+                    self._sample_idx = 9 + self.sample_names.index(sample)
+                else:
+                    self._sample_idx = 9 if len(header) > 9 else None
+                return
+            break
+
+    def _query_indexed(self, chrom: str, start: int, end: int) -> list[VcfVariant]:
+        voff = self._index.min_voffset(chrom, max(start, 0), max(end, 1))
+        if voff is None:
+            return []
+        out = []
+        for line in self._bgzf.read_lines_from_voffset(voff):
+            if not line or line.startswith(b"#"):
+                continue
+            fields = line.decode().split("\t")
+            if fields[0] != chrom:
+                if out:  # left the chromosome: records are chrom-sorted
+                    break
+                continue
+            pos = int(fields[1])
+            if pos > end:
+                break
+            if pos <= start:
+                continue
+            var = self._parse_record(fields, self._sample_idx)
+            if var is not None:
+                out.append(var)
+        return out
 
     def _lines(self):
         if self.path.endswith(".gz"):
@@ -70,6 +133,43 @@ class VCFReader:
             with open(self.path, "rb") as fh:
                 for line in fh:
                     yield line.rstrip(b"\n")
+
+    @staticmethod
+    def _parse_record(fields: list[str], sample_idx: int | None) -> VcfVariant | None:
+        if len(fields) < 8:
+            return None
+        pos, ref, alt_str = int(fields[1]), fields[3], fields[4]
+        alts = alt_str.split(",")
+        if any(a.startswith("<") for a in alts):
+            return None  # symbolic alleles excluded (ALT~"<.*>")
+        if sample_idx is not None and len(fields) > sample_idx:
+            fmt = fields[8].split(":")
+            try:
+                gt_idx = fmt.index("GT")
+            except ValueError:
+                return None
+            gt = fields[sample_idx].split(":")[gt_idx]
+            sep = "|" if "|" in gt else "/"
+            allele_ids = gt.split(sep)
+        else:
+            allele_ids = ["1", "1"]  # site-only VCF: treat as hom alt
+        if len(allele_ids) == 1:
+            allele_ids = allele_ids * 2
+        try:
+            ids = [0 if a == "." else int(a) for a in allele_ids[:2]]
+        except ValueError:
+            return None
+        if ids[0] == 0 and ids[1] == 0:
+            return None
+        seqs = []
+        for i in ids:
+            if i == 0:
+                seqs.append(ref)
+            elif i <= len(alts):
+                seqs.append(alts[i - 1])
+            else:
+                return None
+        return VcfVariant(pos=pos, ref=ref, alleles=(seqs[0], seqs[1]))
 
     def _parse(self, sample: str | None):
         sample_idx = None
@@ -88,44 +188,9 @@ class VCFReader:
                     sample_idx = 9 if len(header) > 9 else None
                 continue
             fields = raw.decode().split("\t")
-            if len(fields) < 8:
-                continue
-            chrom, pos, _, ref, alt_str = fields[0], int(fields[1]), fields[2], fields[3], fields[4]
-            alts = alt_str.split(",")
-            if any(a.startswith("<") for a in alts):
-                continue  # symbolic alleles excluded (ALT~"<.*>")
-            if sample_idx is not None and len(fields) > sample_idx:
-                fmt = fields[8].split(":")
-                try:
-                    gt_idx = fmt.index("GT")
-                except ValueError:
-                    continue
-                gt = fields[sample_idx].split(":")[gt_idx]
-                sep = "|" if "|" in gt else "/"
-                allele_ids = gt.split(sep)
-            else:
-                allele_ids = ["1", "1"]  # site-only VCF: treat as hom alt
-            if len(allele_ids) == 1:
-                allele_ids = allele_ids * 2
-            try:
-                ids = [0 if a == "." else int(a) for a in allele_ids[:2]]
-            except ValueError:
-                continue
-            if ids[0] == 0 and ids[1] == 0:
-                continue
-            seqs = []
-            ok = True
-            for i in ids:
-                if i == 0:
-                    seqs.append(ref)
-                elif i <= len(alts):
-                    seqs.append(alts[i - 1])
-                else:
-                    ok = False
-            if not ok:
-                continue
-            var = VcfVariant(pos=pos, ref=ref, alleles=(seqs[0], seqs[1]))
-            store.setdefault(chrom, []).append((pos, var))
+            var = self._parse_record(fields, sample_idx)
+            if var is not None:
+                store.setdefault(fields[0], []).append((var.pos, var))
         for chrom, items in store.items():
             items.sort(key=lambda pv: pv[0])
             self._by_chrom[chrom] = (
@@ -135,6 +200,8 @@ class VCFReader:
 
     def query(self, chrom: str, start: int, end: int) -> list[VcfVariant]:
         """Variants with 1-based POS in (start, end] — i.e. 0-based [start, end)."""
+        if self._index is not None:
+            return self._query_indexed(chrom, start, end)
         if chrom not in self._by_chrom:
             return []
         positions, variants = self._by_chrom[chrom]
