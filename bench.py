@@ -37,7 +37,9 @@ def main():
 
     impl = os.environ.get("VFX_BENCH_IMPL", "fused")
     cfg = ModelConfig()
-    params = init_seq2gene(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    params = jax.jit(lambda k: init_seq2gene(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )  # one fused init call (per-leaf init pays relay latency per leaf)
     batch = _example_batch(
         d=1, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
         t=54, vocab=cfg.window_encoder.vocab_size,
