@@ -39,11 +39,19 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="use the synthetic fixture genome + tiny random model")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); needed on rigs "
+                         "whose sitecustomize overrides JAX_PLATFORMS")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     log = logging.getLogger("launch")
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from variantformer_tpu.api.sweeps import genome_wide_expression
     from variantformer_tpu.parallel.launch import (

@@ -144,3 +144,28 @@ def test_anatomagram_svg(tmp_path):
     out = anatomagram_html({"APOE": values}, tmp_path / "a.html")
     content = open(out).read()
     assert "APOE" in content and "<svg" in content
+
+
+def test_launch_genome_wide_script(tmp_path):
+    """The multi-host launcher runs end to end in synthetic mode."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = tmp_path / "sweep"
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "launch_genome_wide.py"),
+         "--synthetic", "--platform", "cpu", "--tissues", "tissue0,tissue2",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=420, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads((out / "host_000" / "stats.json").read_text())
+    assert stats["genes"] == 2
+    shards = list((out / "host_000").glob("shard_*.parquet"))
+    assert shards
