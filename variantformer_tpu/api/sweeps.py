@@ -42,7 +42,6 @@ def genome_wide_expression(
     """Predict expression for every gene (or ``genes``) x ``tissues`` for one
     donor. With ``out_dir`` set, streams parquet shards and returns None;
     otherwise returns the full dataframe."""
-    import jax
 
     from variantformer_tpu.data.pipeline import GeneSampleBuilder
     from variantformer_tpu.utils.fasta import FastaReader
@@ -151,7 +150,6 @@ def saturation_scan(
 
     Returns per (pos, alt, tissue, zygosity) expression plus log2fc vs the
     shared reference prediction."""
-    import jax.numpy as jnp
 
     vp = variant_processor
     gencode = vp._vp.get_genes()
@@ -216,7 +214,6 @@ def saturation_scan(
 
 
 def _score_scan_batch(vp, items, tissue_ids, tissue_names, ref_pred, rows, timer):
-    import jax.numpy as jnp
 
     samples = []
     for _, vep_sample in items:

@@ -16,7 +16,6 @@ import logging
 import os
 from pathlib import Path
 
-import jax
 import numpy as np
 import pandas as pd
 
@@ -27,7 +26,6 @@ from variantformer_tpu.data.vep import (
     VepSampleBuilder,
     get_probable_genes,
 )
-from variantformer_tpu.models.seq2gene import seq2gene_forward
 from variantformer_tpu.utils.fasta import FastaReader
 from variantformer_tpu.utils.scoring import generate_log2fc_score
 from variantformer_tpu.utils.vcf import VCFReader

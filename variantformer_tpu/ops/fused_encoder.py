@@ -145,7 +145,6 @@ def _kernel(
 
 def _pad_heads(w, b, num_heads, head_dim):
     """[*, H*D] projection -> [*, H*128] with zero lanes after each head."""
-    import numpy as np  # shapes are static; do this with jnp for tracing
 
     e_in = w.shape[0]
     w = w.reshape(e_in, num_heads, head_dim)

@@ -9,7 +9,6 @@ lands across hosts (DCN), tensor parallelism inside each host (ICI).
 from __future__ import annotations
 
 import logging
-import os
 
 import jax
 

@@ -14,7 +14,6 @@ Pallas kernels are inference-path only until their custom VJPs land.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
