@@ -1,0 +1,77 @@
+"""Fused gene-modulator kernel vs the layered XLA path (Pallas interpreter)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from variantformer_tpu.models.core import AttnSpec
+from variantformer_tpu.models.init import _context_layer_stack
+from variantformer_tpu.models.seq2gene import _gene_layer
+from variantformer_tpu.ops.alibi import alibi_slopes
+from variantformer_tpu.ops.fused_modulator import fused_gene_modulator
+
+E, H, D, F, L = 32, 4, 8, 64, 3
+T, G1, C = 5, 9, 24
+
+
+def _setup(seed=0):
+    layers = _context_layer_stack(jax.random.key(seed), L, E, F)
+    rng = np.random.default_rng(seed)
+    gene = jnp.asarray(rng.normal(size=(T, G1, E)) * 0.5, jnp.float32)
+    cre = jnp.asarray(rng.normal(size=(L, C, E)) * 0.5, jnp.float32)
+    slopes = jnp.asarray(alibi_slopes(H))
+    return layers, gene, cre, slopes
+
+
+def _xla_reference(layers, gene, cre, gene_len, cre_len, slopes):
+    spec = AttnSpec(H, D)
+    x = gene[None].astype(jnp.bfloat16)  # [1, T, G1, E]
+    for i in range(L):
+        layer_p = jax.tree.map(lambda a: a[i], layers)
+        x = _gene_layer(
+            layer_p, x, cre[i][None].astype(jnp.bfloat16),
+            jnp.asarray([gene_len], jnp.int32), jnp.asarray([cre_len], jnp.int32),
+            slopes, False, spec, jnp.bfloat16,
+        )
+    return x[0]
+
+
+def test_fused_modulator_matches_layered():
+    layers, gene, cre, slopes = _setup()
+    gene_len, cre_len = 7, 20
+    ref = _xla_reference(layers, gene, cre, gene_len, cre_len, slopes)
+    out = fused_gene_modulator(
+        gene, cre, jnp.int32(gene_len), jnp.int32(cre_len), layers, slopes,
+        D ** -0.5, H, D, tissue_block=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[:, :gene_len],
+        np.asarray(ref, np.float32)[:, :gene_len],
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_fused_modulator_tissue_block_invariance():
+    """T not a multiple of the tissue block must still match."""
+    layers, gene, cre, slopes = _setup(seed=1)
+    args = (gene, cre, jnp.int32(G1), jnp.int32(C), layers, slopes, D ** -0.5, H, D)
+    out2 = fused_gene_modulator(*args, tissue_block=2)
+    out5 = fused_gene_modulator(*args, tissue_block=5)
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32), np.asarray(out5, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+    assert out2.shape == (T, G1, E)
+
+
+def test_fused_modulator_no_alibi():
+    layers, gene, cre, _ = _setup(seed=2)
+    ref = _xla_reference(layers, gene, cre, G1, C, None)
+    out = fused_gene_modulator(
+        gene, cre, jnp.int32(G1), jnp.int32(C), layers, None,
+        D ** -0.5, H, D, tissue_block=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
