@@ -75,3 +75,25 @@ def test_fused_modulator_no_alibi():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_seq2gene_forward_fused2_matches_xla():
+    """End-to-end dispatch: impl='fused2' (fused encoder + fused modulator)
+    must match the XLA path on the full forward."""
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+    from tests.test_model_smoke import tiny_batch, tiny_config
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = tiny_batch(np.random.default_rng(0))
+    ref = seq2gene_forward(params, batch, cfg, impl="xla")
+    out = seq2gene_forward(params, batch, cfg, impl="fused2")
+    np.testing.assert_allclose(
+        np.asarray(out.pred_expression), np.asarray(ref.pred_expression),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pooled_embedding), np.asarray(ref.pooled_embedding),
+        rtol=6e-2, atol=6e-2,
+    )

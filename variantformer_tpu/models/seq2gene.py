@@ -152,16 +152,23 @@ def seq2gene_forward(
     e = mcfg.emb_dim
 
     # impl="fused" applies the whole-encoder kernel to the window stage and
-    # keeps the modulator on the XLA path (its streams are cross-coupled).
+    # keeps the modulator on the XLA path; impl="fused2" additionally runs
+    # the gene stack through the fused modulator kernel (ops/fused_modulator).
     enc_spec = AttnSpec(
         num_heads=wcfg.num_heads,
         head_dim=wcfg.embedding_dim // wcfg.num_heads,
-        impl=impl,
+        impl="fused" if impl == "fused2" else impl,
     )
     mod_spec = AttnSpec(
         num_heads=mcfg.num_heads,
         head_dim=mcfg.emb_dim // mcfg.num_heads,
-        impl="xla" if impl == "fused" else impl,
+        impl="xla" if impl in ("fused", "fused2") else impl,
+    )
+    fused_gene_stack = (
+        impl == "fused2"
+        and not mcfg.only_cross_attention
+        and not mcfg.use_res
+        and mod_spec.head_dim <= 64
     )
 
     # === 1. Window encoding (frozen tokenizers), per donor ===
@@ -216,23 +223,39 @@ def seq2gene_forward(
     cre_intermediates = jnp.concatenate([cre[None], cre_steps], axis=0)  # [25, D, C, E]
 
     # === 5. Gene stack scanning over (gene layer, CRE intermediate) pairs ===
-    gene_res = gene_stream if mcfg.use_res else None
+    if fused_gene_stack:
+        from variantformer_tpu.ops.fused_modulator import fused_gene_modulator
 
-    def gene_body(gs, inputs):
-        layer_p, cre_kv = inputs
-        out = _gene_layer(
-            layer_p, gs, cre_kv, gene_len, batch.cre_count,
-            slopes, mcfg.only_cross_attention, mod_spec, compute_dtype,
+        gene_stream = jnp.stack(
+            [
+                fused_gene_modulator(
+                    gene_stream[di], cre_intermediates[:, di],
+                    gene_len[di], batch.cre_count[di],
+                    params["gene_layers"], slopes, mod_spec.scale,
+                    mod_spec.num_heads, mod_spec.head_dim,
+                    tissue_block=min(6, t),
+                )
+                for di in range(d)
+            ]
+        ).astype(compute_dtype)
+    else:
+        gene_res = gene_stream if mcfg.use_res else None
+
+        def gene_body(gs, inputs):
+            layer_p, cre_kv = inputs
+            out = _gene_layer(
+                layer_p, gs, cre_kv, gene_len, batch.cre_count,
+                slopes, mcfg.only_cross_attention, mod_spec, compute_dtype,
+            )
+            if gene_res is not None:
+                out = out + gene_res
+            return out, None
+
+        if mcfg.remat:
+            gene_body = jax.checkpoint(gene_body)
+        gene_stream, _ = jax.lax.scan(
+            gene_body, gene_stream, (params["gene_layers"], cre_intermediates)
         )
-        if gene_res is not None:
-            out = out + gene_res
-        return out, None
-
-    if mcfg.remat:
-        gene_body = jax.checkpoint(gene_body)
-    gene_stream, _ = jax.lax.scan(
-        gene_body, gene_stream, (params["gene_layers"], cre_intermediates)
-    )
 
     # === 6. Pool + tissue heads ===
     pooled = gene_stream[:, :, 0, :]  # [D, T, E] multi-registry pooling

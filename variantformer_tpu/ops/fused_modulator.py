@@ -1,15 +1,21 @@
-"""Fused gene-modulator stack: all gene layers in one Pallas call (prototype).
+"""Fused gene-modulator stack: all gene layers in one Pallas call.
 
-Round-2 work item (NOTES.md "Fused-modulator design"): the 25-layer gene
-stack is ~45% of the vcf2exp forward. Like the fused window encoder, its
-activations can persist in VMEM across layers while per-layer weights (and
-the layer's CRE intermediate) stream through:
+The 25-layer gene stack is ~45% of the vcf2exp forward. Like the fused
+window encoder, its activations can persist in VMEM across layers while
+per-layer weights (and the layer's CRE intermediate) stream through:
 
-  * grid = (tissue-block, layer); layer is the inner, sequential axis,
-  * the gene stream [TB, G1, E] lives in VMEM scratch for the whole depth,
-  * per-layer weights are zero-padded so each head occupies 64 lanes
-    (head_dim 48 -> 64; 64-offset lane slicing of VMEM values is verified to
-    work on this Mosaic), and the out-projections carry matching zero rows,
+  * grid = (tissue-block, layer*3): the inner axis is sequential and steps
+    through three phases per layer — self-attention, cross-attention, FFN.
+    Each phase's matrix weights are packed into ONE slab operand indexed by
+    the grid step, so only ~one phase's weights (plus the pipelined next
+    slab) are resident in VMEM at a time. This is what makes the full-size
+    model fit: a whole layer's padded weights are ~60 MB, one phase's ~25 MB.
+  * the gene stream [TB, G1, E] lives in VMEM scratch for the whole depth;
+    a second scratch buffer carries the intra-layer stream between phases,
+  * per-head projections are zero-padded to 64 lanes (head_dim 48 -> 64;
+    64-offset lane slicing of VMEM values is verified on this Mosaic), and
+    out-projections are stored TRANSPOSED ([E, H*64]) so every slab shares
+    the [E, cols] shape; the kernel contracts their second dims,
   * self-attention is computed per head over the whole [TB*G1, TB*G1] row
     space with a block-diagonal mask (tissues don't attend across blocks),
     so each head is one large MXU matmul instead of TB small ones,
@@ -22,13 +28,6 @@ pre-LN self-attn with symmetric ALiBi, pre-LN cross-attn over the CRE
 stream, GeGLU FFN whose residual adds the layer *input* (res_long). GELU
 uses the tanh approximation (Mosaic has no erf lowering; error < bf16
 resolution).
-
-STATUS: correctness-validated in interpreter mode (tests/test_fused_modulator.py)
-and NOT wired into seq2gene_forward yet. The remaining round-2 work is
-VMEM fit on real hardware: one layer's padded weights are ~60 MB, which
-with double-buffering exceeds v5e VMEM — the plan is to phase-pack the
-weights into a single streamed slab operand (grid (tb, layer*phases)) so
-only one phase's weights are resident per step.
 """
 
 from __future__ import annotations
@@ -49,20 +48,12 @@ def _kernel(
     slopes_ref,    # [H] f32 scalar prefetch: ALiBi slopes
     x_ref,         # [TB, G1P, E]
     cre_ref,       # [1, CP, E] layer's CRE intermediate
-    n1s_ref, n1b_ref,                       # [1, 1, E]
-    wq_ref, wk_ref, wv_ref,                 # [1, E, H*64]
-    bq_ref, bk_ref, bv_ref,                 # [1, 1, H*64]
-    wo_ref, bo_ref,                         # [1, H*64, E], [1, 1, E]
-    n2s_ref, n2b_ref,                       # [1, 1, E]
-    cwq_ref, cbq_ref,                       # [1, E, H*64], [1, 1, H*64]
-    cwk_ref, cwv_ref,                       # [1, E, H*64]
-    cbk_ref, cbv_ref,                       # [1, 1, H*64]
-    cwo_ref, cbo_ref,                       # [1, H*64, E], [1, 1, E]
-    n3s_ref, n3b_ref,                       # [1, 1, E]
-    wf1_ref, bf1_ref,                       # [1, E, F], [1, 1, F]
-    wf2_ref, bf2_ref,                       # [1, F//2, E], [1, 1, E]
+    slab_ref,      # [1, E, SLAB] phase-packed matrix weights
+    bias_ref,      # [1, 1, SLAB] phase-packed biases
+    norm_ref,      # [1, 1, 2E] phase's pre-LN scale|bias
     out_ref,       # [TB, G1P, E]
-    x_state,       # [TB, G1P, E] bf16 scratch (persists across layer steps)
+    x_state,       # [TB, G1P, E] bf16 scratch: layer input (res_long)
+    h_state,       # [TB, G1P, E] bf16 scratch: intra-layer stream
     attn_scratch,  # [TB*G1P, H*64] bf16 scratch
     ck_scratch,    # [CP, H*64] bf16 scratch
     cv_scratch,    # [CP, H*64] bf16 scratch
@@ -72,51 +63,50 @@ def _kernel(
     tissue_block: int,
     g1p: int,
     scale: float,
+    ffn_dim: int,
 ):
-    layer = pl.program_id(1)
+    step = pl.program_id(1)
+    phase = step % 3
     e = x_ref.shape[-1]
+    hp = num_heads * LANE
     rows = tissue_block * g1p
     cp = cre_ref.shape[1]
     gene_len = lens_ref[0]
     cre_len = lens_ref[1]
 
-    @pl.when(layer == 0)
+    @pl.when(step == 0)
     def _load():
         x_state[...] = x_ref[...].astype(jnp.bfloat16)
 
-    def layer_norm(x, s, b):
+    def layer_norm(x):
+        s = norm_ref[0, 0, :e].astype(jnp.float32)
+        b = norm_ref[0, 0, e:].astype(jnp.float32)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         return ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * s + b).astype(x.dtype)
 
-    def matmul(a, w):
+    def matmul(a, w):  # [R, E] @ [E, C] -> [R, C] f32
         return jax.lax.dot_general(
             a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    # Block-diagonal self-attention mask + symmetric ALiBi distance, shared
-    # by every head (slope applied per head from SMEM).
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    j2 = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    rj = j2 % g1p
-    allowed = ((i2 // g1p) == (j2 // g1p)) & (rj < gene_len)
-    self_mask = jnp.where(allowed, 0.0, MASK_VALUE)          # [rows, rows] f32
-    dist = jnp.abs(i2 % g1p - rj).astype(jnp.float32)
-    jc = jax.lax.broadcasted_iota(jnp.int32, (rows, cp), 1)
-    cross_mask = jnp.where(jc < cre_len, 0.0, MASK_VALUE)    # [rows, CP] f32
+    def matmul_t(a, wt):  # [R, C] @ [E, C]^T -> [R, E] f32
+        return jax.lax.dot_general(
+            a, wt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     def softmax_rows(s):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         return p / jnp.sum(p, axis=-1, keepdims=True)
 
-    def headwise_attention(q_all, k_all, v_all, bias_of_head, n_k):
+    def headwise_attention(q_all, k_all, v_all, bias_of_head):
         for h in range(num_heads):
             c0 = h * LANE
             qh = q_all[:, c0 : c0 + LANE]
-            kh = k_all[: n_k, c0 : c0 + LANE]
-            vh = v_all[: n_k, c0 : c0 + LANE]
+            kh = k_all[:, c0 : c0 + LANE]
+            vh = v_all[:, c0 : c0 + LANE]
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -129,66 +119,82 @@ def _kernel(
             )
             attn_scratch[:, c0 : c0 + LANE] = o.astype(jnp.bfloat16)
 
-    x = x_state[...]
+    def proj(h_flat, col0, cols):
+        w = slab_ref[0, :, col0 : col0 + cols]
+        b = bias_ref[0, :, col0 : col0 + cols].astype(jnp.bfloat16)
+        return matmul(h_flat, w).astype(jnp.bfloat16) + b
 
-    # --- self-attention over the gene stream -----------------------------
-    h1 = layer_norm(
-        x, n1s_ref[0].astype(jnp.float32), n1b_ref[0].astype(jnp.float32)
-    ).reshape(rows, e)
-    q = matmul(h1, wq_ref[0]).astype(jnp.bfloat16) + bq_ref[0].astype(jnp.bfloat16)
-    k = matmul(h1, wk_ref[0]).astype(jnp.bfloat16) + bk_ref[0].astype(jnp.bfloat16)
-    v = matmul(h1, wv_ref[0]).astype(jnp.bfloat16) + bv_ref[0].astype(jnp.bfloat16)
-    headwise_attention(
-        q, k, v, lambda h: self_mask - slopes_ref[h] * dist, rows
-    )
-    sa = (
-        matmul(attn_scratch[...], wo_ref[0]).astype(jnp.bfloat16)
-        + bo_ref[0].astype(jnp.bfloat16)
-    ).reshape(tissue_block, g1p, e)
-    h = sa + x
+    def out_proj(a_flat, col0, bias_col0):
+        wt = slab_ref[0, :, col0 : col0 + hp]
+        b = bias_ref[0, :, bias_col0 : bias_col0 + e].astype(jnp.bfloat16)
+        return (matmul_t(a_flat, wt).astype(jnp.bfloat16) + b).reshape(
+            tissue_block, g1p, e
+        )
 
-    # --- cross-attention to the layer's CRE intermediate -----------------
-    h2n = layer_norm(
-        h, n2s_ref[0].astype(jnp.float32), n2b_ref[0].astype(jnp.float32)
-    ).reshape(rows, e)
-    q2 = (
-        matmul(h2n, cwq_ref[0]).astype(jnp.bfloat16)
-        + cbq_ref[0].astype(jnp.bfloat16)
-    )
-    cre = cre_ref[0].astype(jnp.bfloat16)
-    ck_scratch[...] = (
-        matmul(cre, cwk_ref[0]).astype(jnp.bfloat16)
-        + cbk_ref[0].astype(jnp.bfloat16)
-    )
-    cv_scratch[...] = (
-        matmul(cre, cwv_ref[0]).astype(jnp.bfloat16)
-        + cbv_ref[0].astype(jnp.bfloat16)
-    )
-    headwise_attention(
-        q2, ck_scratch[...], cv_scratch[...], lambda h: cross_mask, cp
-    )
-    ca = (
-        matmul(attn_scratch[...], cwo_ref[0]).astype(jnp.bfloat16)
-        + cbo_ref[0].astype(jnp.bfloat16)
-    ).reshape(tissue_block, g1p, e)
-    h2 = ca + h
+    @pl.when(phase == 0)
+    def _self_attention():
+        x = x_state[...]
+        h1 = layer_norm(x).reshape(rows, e)
+        q = proj(h1, 0, hp)
+        k = proj(h1, hp, hp)
+        v = proj(h1, 2 * hp, hp)
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        rj = j2 % g1p
+        allowed = ((i2 // g1p) == (j2 // g1p)) & (rj < gene_len)
+        # bf16 distance is exact for |i-j| < 256 and halves the VMEM bill.
+        dist = jnp.abs(i2 % g1p - rj).astype(jnp.bfloat16)
 
-    # --- GeGLU FFN, residual to the layer input (res_long) ---------------
-    g = layer_norm(
-        h2, n3s_ref[0].astype(jnp.float32), n3b_ref[0].astype(jnp.float32)
-    ).reshape(rows, e)
-    f = matmul(g, wf1_ref[0]).astype(jnp.bfloat16) + bf1_ref[0].astype(jnp.bfloat16)
-    half = f.shape[-1] // 2
-    value, gate = f[:, :half], f[:, half:]
-    f = value * jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(
-        jnp.bfloat16
-    )
-    o = (
-        matmul(f, wf2_ref[0]).astype(jnp.bfloat16) + bf2_ref[0].astype(jnp.bfloat16)
-    ).reshape(tissue_block, g1p, e)
-    x_state[...] = o + x
+        def self_bias(h):
+            bias = -slopes_ref[h] * dist.astype(jnp.float32)
+            return jnp.where(allowed, bias, MASK_VALUE)
 
-    @pl.when(layer == num_layers - 1)
+        headwise_attention(q, k, v, self_bias)
+        sa = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
+        h_state[...] = sa + x
+
+    @pl.when(phase == 1)
+    def _cross_attention():
+        h = h_state[...]
+        h2n = layer_norm(h).reshape(rows, e)
+        q2 = proj(h2n, 0, hp)
+        cre = cre_ref[0].astype(jnp.bfloat16)
+        ck_scratch[...] = (
+            matmul(cre, slab_ref[0, :, hp : 2 * hp]).astype(jnp.bfloat16)
+            + bias_ref[0, :, hp : 2 * hp].astype(jnp.bfloat16)
+        )
+        cv_scratch[...] = (
+            matmul(cre, slab_ref[0, :, 2 * hp : 3 * hp]).astype(jnp.bfloat16)
+            + bias_ref[0, :, 2 * hp : 3 * hp].astype(jnp.bfloat16)
+        )
+        jc = jax.lax.broadcasted_iota(jnp.int32, (rows, cp), 1)
+        cvalid = jc < cre_len
+
+        def cross_bias(h):
+            return jnp.where(cvalid, 0.0, MASK_VALUE)
+
+        headwise_attention(q2, ck_scratch[...], cv_scratch[...], cross_bias)
+        ca = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
+        h_state[...] = ca + h
+
+    @pl.when(phase == 2)
+    def _ffn():
+        h2 = h_state[...]
+        g = layer_norm(h2).reshape(rows, e)
+        f = proj(g, 0, ffn_dim)
+        half = ffn_dim // 2
+        value, gate = f[:, :half], f[:, half:]
+        f = value * jax.nn.gelu(
+            gate.astype(jnp.float32), approximate=True
+        ).astype(jnp.bfloat16)
+        wt = slab_ref[0, :, ffn_dim : ffn_dim + half]
+        b = bias_ref[0, :, ffn_dim : ffn_dim + e].astype(jnp.bfloat16)
+        o = (matmul_t(f, wt).astype(jnp.bfloat16) + b).reshape(
+            tissue_block, g1p, e
+        )
+        x_state[...] = o + x_state[...]
+
+    @pl.when(step == 3 * num_layers - 1)
     def _store():
         out_ref[...] = x_state[...]
 
@@ -202,17 +208,17 @@ def _pad_head_cols(w, b, num_heads, head_dim):
     bp = jnp.zeros((nl, num_heads, LANE), b.dtype).at[..., :head_dim].set(b)
     return (
         wp.reshape(nl, e_in, num_heads * LANE),
-        bp.reshape(nl, 1, num_heads * LANE),
+        bp.reshape(nl, num_heads * LANE),
     )
 
 
-def _pad_head_rows(w, num_heads, head_dim):
-    """[L, H*D, E] out-projection -> [L, H*64, E] with zero rows per head."""
+def _pad_head_rows_t(w, num_heads, head_dim):
+    """[L, H*D, E] out-projection -> transposed [L, E, H*64], zero pad lanes."""
     nl, e_out = w.shape[0], w.shape[2]
     w = w.reshape(nl, num_heads, head_dim, e_out)
     wp = jnp.zeros((nl, num_heads, LANE, e_out), w.dtype)
     wp = wp.at[:, :, :head_dim, :].set(w)
-    return wp.reshape(nl, num_heads * LANE, e_out)
+    return wp.reshape(nl, num_heads * LANE, e_out).transpose(0, 2, 1)
 
 
 def _roundup(n, m):
@@ -240,6 +246,12 @@ def fused_gene_modulator(
     assert head_dim <= LANE
     hp = num_heads * LANE
     ffn = layers["ffn_in"]["w"].shape[-1]
+    # Slab layout per phase (cols, all slabs share width SLAB):
+    #   phase 0 (self):  wq | wk | wv | wo^T          -> 4*HP
+    #   phase 1 (cross): cwq | cwk | cwv | cwo^T      -> 4*HP
+    #   phase 2 (ffn):   wf1 | wf2^T                  -> ffn + ffn//2
+    slab_cols = max(4 * hp, ffn + ffn // 2)
+    slab_cols = _roundup(slab_cols, 128)
 
     g1p = _roundup(g1, 16)
     tp = _roundup(t, tissue_block)
@@ -253,7 +265,7 @@ def fused_gene_modulator(
     # Head-major packed QKV (H, 3, D) -> per-slot padded [L, E, H*64].
     wqkv = layers["mixer"]["wqkv"]["w"].reshape(num_layers, e, num_heads, 3, head_dim)
     bqkv = layers["mixer"]["wqkv"]["b"].reshape(num_layers, num_heads, 3, head_dim)
-    packed = [
+    qkv = [
         _pad_head_cols(
             wqkv[:, :, :, i, :].reshape(num_layers, e, num_heads * head_dim),
             bqkv[:, :, i, :].reshape(num_layers, num_heads * head_dim),
@@ -261,11 +273,10 @@ def fused_gene_modulator(
         )
         for i in range(3)
     ]
-    (wq, bq), (wk, bk), (wv, bv) = packed
     # Cross K/V packed (H, 2, D); cross Q is a plain [E, H*D] projection.
     cwkv = layers["cross"]["wkv"]["w"].reshape(num_layers, e, num_heads, 2, head_dim)
     cbkv = layers["cross"]["wkv"]["b"].reshape(num_layers, num_heads, 2, head_dim)
-    cross_kv = [
+    ckv = [
         _pad_head_cols(
             cwkv[:, :, :, i, :].reshape(num_layers, e, num_heads * head_dim),
             cbkv[:, :, i, :].reshape(num_layers, num_heads * head_dim),
@@ -273,26 +284,56 @@ def fused_gene_modulator(
         )
         for i in range(2)
     ]
-    (cwk, cbk), (cwv, cbv) = cross_kv
-    cwq, cbq = _pad_head_cols(
+    cq = _pad_head_cols(
         layers["cross"]["wq"]["w"], layers["cross"]["wq"]["b"],
         num_heads, head_dim,
     )
-    wo = _pad_head_rows(layers["mixer"]["out"]["w"], num_heads, head_dim)
-    cwo = _pad_head_rows(layers["cross"]["out"]["w"], num_heads, head_dim)
+    wo_t = _pad_head_rows_t(layers["mixer"]["out"]["w"], num_heads, head_dim)
+    cwo_t = _pad_head_rows_t(layers["cross"]["out"]["w"], num_heads, head_dim)
+    wf2_t = layers["ffn_out"]["w"].transpose(0, 2, 1)  # [L, E, ffn//2]
 
-    vec = lambda a: a[:, None, :]  # [L, X] -> [L, 1, X] (untiled leading dims)
-    weights = [
-        vec(layers["norm1"]["scale"]), vec(layers["norm1"]["bias"]),
-        cast(wq), cast(wk), cast(wv), cast(bq), cast(bk), cast(bv),
-        cast(wo), vec(cast(layers["mixer"]["out"]["b"])),
-        vec(layers["norm2"]["scale"]), vec(layers["norm2"]["bias"]),
-        cast(cwq), cast(cbq), cast(cwk), cast(cwv), cast(cbk), cast(cbv),
-        cast(cwo), vec(cast(layers["cross"]["out"]["b"])),
-        vec(layers["norm3"]["scale"]), vec(layers["norm3"]["bias"]),
-        cast(layers["ffn_in"]["w"]), vec(cast(layers["ffn_in"]["b"])),
-        cast(layers["ffn_out"]["w"]), vec(cast(layers["ffn_out"]["b"])),
-    ]
+    def slab_phase(mats):
+        s = jnp.zeros((num_layers, e, slab_cols), jnp.bfloat16)
+        col = 0
+        for m in mats:
+            s = s.at[:, :, col : col + m.shape[-1]].set(cast(m))
+            col += m.shape[-1]
+        return s
+
+    def bias_phase(vecs_at):  # [(vec [L, X], col0), ...]
+        b = jnp.zeros((num_layers, 1, slab_cols), jnp.bfloat16)
+        for v, col in vecs_at:
+            b = b.at[:, 0, col : col + v.shape[-1]].set(cast(v))
+        return b
+
+    slab = jnp.stack(
+        [
+            slab_phase([qkv[0][0], qkv[1][0], qkv[2][0], wo_t]),
+            slab_phase([cq[0], ckv[0][0], ckv[1][0], cwo_t]),
+            slab_phase([layers["ffn_in"]["w"], wf2_t]),
+        ],
+        axis=1,
+    ).reshape(num_layers * 3, e, slab_cols)
+    biases = jnp.stack(
+        [
+            bias_phase([(qkv[0][1], 0), (qkv[1][1], hp), (qkv[2][1], 2 * hp),
+                        (layers["mixer"]["out"]["b"], 3 * hp)]),
+            bias_phase([(cq[1], 0), (ckv[0][1], hp), (ckv[1][1], 2 * hp),
+                        (layers["cross"]["out"]["b"], 3 * hp)]),
+            bias_phase([(layers["ffn_in"]["b"], 0),
+                        (layers["ffn_out"]["b"], ffn)]),
+        ],
+        axis=1,
+    ).reshape(num_layers * 3, 1, slab_cols)
+    norms = jnp.stack(
+        [
+            jnp.concatenate(
+                [layers[n]["scale"], layers[n]["bias"]], axis=-1
+            ).astype(jnp.float32)
+            for n in ("norm1", "norm2", "norm3")
+        ],
+        axis=1,
+    ).reshape(num_layers * 3, 1, 2 * e)
 
     kernel = functools.partial(
         _kernel,
@@ -301,14 +342,8 @@ def fused_gene_modulator(
         tissue_block=tissue_block,
         g1p=g1p,
         scale=scale,
+        ffn_dim=ffn,
     )
-    w_specs = [
-        pl.BlockSpec(
-            (1, *w.shape[1:]),
-            (lambda tb, layer, *_, nd=w.ndim: (layer,) + (0,) * (nd - 1)),
-        )
-        for w in weights
-    ]
     lens = jnp.stack([gene_len, cre_len]).astype(jnp.int32)
     if slopes is None:
         slopes = jnp.zeros((num_heads,), jnp.float32)
@@ -316,16 +351,19 @@ def fused_gene_modulator(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(tp // tissue_block, num_layers),
+            grid=(tp // tissue_block, num_layers * 3),
             in_specs=[
-                pl.BlockSpec((tissue_block, g1p, e), lambda tb, layer, *_: (tb, 0, 0)),
-                pl.BlockSpec((1, cp, e), lambda tb, layer, *_: (layer, 0, 0)),
-                *w_specs,
+                pl.BlockSpec((tissue_block, g1p, e), lambda tb, s, *_: (tb, 0, 0)),
+                pl.BlockSpec((1, cp, e), lambda tb, s, *_: (s // 3, 0, 0)),
+                pl.BlockSpec((1, e, slab_cols), lambda tb, s, *_: (s, 0, 0)),
+                pl.BlockSpec((1, 1, slab_cols), lambda tb, s, *_: (s, 0, 0)),
+                pl.BlockSpec((1, 1, 2 * e), lambda tb, s, *_: (s, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (tissue_block, g1p, e), lambda tb, layer, *_: (tb, 0, 0)
+                (tissue_block, g1p, e), lambda tb, s, *_: (tb, 0, 0)
             ),
             scratch_shapes=[
+                pltpu.VMEM((tissue_block, g1p, e), jnp.bfloat16),
                 pltpu.VMEM((tissue_block, g1p, e), jnp.bfloat16),
                 pltpu.VMEM((tissue_block * g1p, hp), jnp.bfloat16),
                 pltpu.VMEM((cp, hp), jnp.bfloat16),
@@ -335,8 +373,8 @@ def fused_gene_modulator(
         out_shape=jax.ShapeDtypeStruct((tp, g1p, e), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=120 * 2**20,
+            vmem_limit_bytes=127 * 2**20,
         ),
         interpret=(jax.default_backend() == "cpu"),
-    )(lens, slopes.astype(jnp.float32), x, cre, *weights)
+    )(lens, slopes.astype(jnp.float32), x, cre, slab, biases, norms)
     return out[:t, :g1]
