@@ -97,3 +97,19 @@ def test_seq2gene_forward_fused2_matches_xla():
         np.asarray(out.pooled_embedding), np.asarray(ref.pooled_embedding),
         rtol=6e-2, atol=6e-2,
     )
+
+
+def test_fused_modulator_length_edges():
+    """Minimal valid lengths: registry-only gene stream, few CRE windows."""
+    layers, gene, cre, slopes = _setup(seed=3)
+    for gene_len, cre_len in ((1, 2), (3, 1)):
+        ref = _xla_reference(layers, gene, cre, gene_len, cre_len, slopes)
+        out = fused_gene_modulator(
+            gene, cre, jnp.int32(gene_len), jnp.int32(cre_len), layers, slopes,
+            D ** -0.5, H, D, tissue_block=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32)[:, :gene_len],
+            np.asarray(ref, np.float32)[:, :gene_len],
+            rtol=3e-2, atol=3e-2,
+        )
