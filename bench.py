@@ -45,6 +45,17 @@ def main():
         t=54, vocab=cfg.window_encoder.vocab_size,
     )
 
+    if impl == "fused2":
+        # Pack the gene stack once, as VCFProcessor.set_params does — the
+        # fused modulator's weight padding must not run per forward.
+        from variantformer_tpu.ops.fused_modulator import pack_gene_layers
+
+        params = dict(params)
+        params["gene_layers_packed"] = pack_gene_layers(
+            params["gene_layers"], cfg.seq2gene.num_heads,
+            cfg.seq2gene.emb_dim // cfg.seq2gene.num_heads,
+        )
+
     fn = jax.jit(lambda p, b: seq2gene_forward(p, b, cfg, impl=impl).pred_expression)
     out = jax.block_until_ready(fn(params, batch))  # compile + warm
     assert out.shape == (1, 54)

@@ -232,7 +232,7 @@ class VCFProcessor:
         )
         loaded = manager.load_model(param_dtype or jnp.bfloat16)
         self.config = loaded.config
-        self._params = loaded.params
+        self.set_params(loaded.params)
         return loaded.params
 
     def set_params(self, params, config: ModelConfig | None = None):
@@ -240,6 +240,17 @@ class VCFProcessor:
         self._params = params
         if config is not None:
             self.config = config
+        if self.impl == "fused2" and "gene_layers_packed" not in params:
+            # Pack the gene stack for the fused modulator ONCE at load time —
+            # padding/transposing ~1.2 GB of weights must not run per forward.
+            from variantformer_tpu.ops.fused_modulator import pack_gene_layers
+
+            mcfg = self.config.seq2gene
+            self._params = dict(params)
+            self._params["gene_layers_packed"] = pack_gene_layers(
+                params["gene_layers"], mcfg.num_heads,
+                mcfg.emb_dim // mcfg.num_heads,
+            )
 
     def _forward(self, batch):
         key = (

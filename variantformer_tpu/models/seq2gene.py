@@ -224,14 +224,25 @@ def seq2gene_forward(
 
     # === 5. Gene stack scanning over (gene layer, CRE intermediate) pairs ===
     if fused_gene_stack:
-        from variantformer_tpu.ops.fused_modulator import fused_gene_modulator
+        from variantformer_tpu.ops.fused_modulator import (
+            fused_gene_modulator_packed,
+            pack_gene_layers,
+        )
 
+        # Use load-time packed weights when the caller provides them
+        # (VCFProcessor.set_params); otherwise pack inline (per call).
+        packed = params.get("gene_layers_packed")
+        if packed is None:
+            packed = pack_gene_layers(
+                params["gene_layers"], mod_spec.num_heads, mod_spec.head_dim
+            )
+        ffn = params["gene_layers"]["ffn_in"]["w"].shape[-1]
         gene_stream = jnp.stack(
             [
-                fused_gene_modulator(
+                fused_gene_modulator_packed(
                     gene_stream[di], cre_intermediates[:, di],
                     gene_len[di], batch.cre_count[di],
-                    params["gene_layers"], slopes, mod_spec.scale,
+                    packed, slopes, ffn, mod_spec.scale,
                     mod_spec.num_heads, mod_spec.head_dim,
                     tissue_block=min(6, t),
                 )

@@ -225,41 +225,21 @@ def _roundup(n, m):
     return -(-n // m) * m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_heads", "head_dim", "scale", "tissue_block")
-)
-def fused_gene_modulator(
-    gene_stream: jax.Array,        # [T, G1, E] registry + gene tokens (one donor)
-    cre_intermediates: jax.Array,  # [num_layers, C, E]
-    gene_len: jax.Array,           # scalar int32 valid gene rows (incl registry)
-    cre_len: jax.Array,            # scalar int32 valid CRE windows
-    layers: dict,                  # stacked context-layer params (models/init layout)
-    slopes: jax.Array | None,      # [H] ALiBi slopes or None
-    scale: float,
-    num_heads: int,
-    head_dim: int,
-    tissue_block: int = 6,
-) -> jax.Array:
-    """Returns the final gene stream [T, G1, E] (bf16)."""
-    t, g1, e = gene_stream.shape
-    num_layers, c, _ = cre_intermediates.shape
-    assert head_dim <= LANE
+def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
+    """Pre-pack stacked gene-layer params into the kernel's slab operands.
+
+    Call ONCE at model-load time (e.g. VCFProcessor.set_params) and pass the
+    result to ``fused_gene_modulator_packed`` — packing pads/transposes the
+    whole gene stack (~1.2 GB at full size), which must not run per forward.
+    """
+    num_layers, e, _ = layers["mixer"]["wqkv"]["w"].shape
     hp = num_heads * LANE
     ffn = layers["ffn_in"]["w"].shape[-1]
     # Slab layout per phase (cols, all slabs share width SLAB):
     #   phase 0 (self):  wq | wk | wv | wo^T          -> 4*HP
     #   phase 1 (cross): cwq | cwk | cwv | cwo^T      -> 4*HP
     #   phase 2 (ffn):   wf1 | wf2^T                  -> ffn + ffn//2
-    slab_cols = max(4 * hp, ffn + ffn // 2)
-    slab_cols = _roundup(slab_cols, 128)
-
-    g1p = _roundup(g1, 16)
-    tp = _roundup(t, tissue_block)
-    cp = _roundup(c, 128)
-    x = jnp.zeros((tp, g1p, e), jnp.bfloat16)
-    x = x.at[:t, :g1].set(gene_stream.astype(jnp.bfloat16))
-    cre = jnp.zeros((num_layers, cp, e), jnp.bfloat16)
-    cre = cre.at[:, :c].set(cre_intermediates.astype(jnp.bfloat16))
+    slab_cols = _roundup(max(4 * hp, ffn + ffn // 2), 128)
 
     cast = lambda a: a.astype(jnp.bfloat16)
     # Head-major packed QKV (H, 3, D) -> per-slot padded [L, E, H*64].
@@ -314,12 +294,13 @@ def fused_gene_modulator(
         ],
         axis=1,
     ).reshape(num_layers * 3, e, slab_cols)
+    hp_ = hp
     biases = jnp.stack(
         [
-            bias_phase([(qkv[0][1], 0), (qkv[1][1], hp), (qkv[2][1], 2 * hp),
-                        (layers["mixer"]["out"]["b"], 3 * hp)]),
-            bias_phase([(cq[1], 0), (ckv[0][1], hp), (ckv[1][1], 2 * hp),
-                        (layers["cross"]["out"]["b"], 3 * hp)]),
+            bias_phase([(qkv[0][1], 0), (qkv[1][1], hp_), (qkv[2][1], 2 * hp_),
+                        (layers["mixer"]["out"]["b"], 3 * hp_)]),
+            bias_phase([(cq[1], 0), (ckv[0][1], hp_), (ckv[1][1], 2 * hp_),
+                        (layers["cross"]["out"]["b"], 3 * hp_)]),
             bias_phase([(layers["ffn_in"]["b"], 0),
                         (layers["ffn_out"]["b"], ffn)]),
         ],
@@ -334,6 +315,41 @@ def fused_gene_modulator(
         ],
         axis=1,
     ).reshape(num_layers * 3, 1, 2 * e)
+    return {"slab": slab, "biases": biases, "norms": norms}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ffn", "num_heads", "head_dim", "scale", "tissue_block")
+)
+def fused_gene_modulator_packed(
+    gene_stream: jax.Array,        # [T, G1, E] registry + gene tokens (one donor)
+    cre_intermediates: jax.Array,  # [num_layers, C, E]
+    gene_len: jax.Array,           # scalar int32 valid gene rows (incl registry)
+    cre_len: jax.Array,            # scalar int32 valid CRE windows
+    packed: dict,                  # output of pack_gene_layers
+    slopes: jax.Array | None,      # [H] ALiBi slopes or None
+    ffn: int,                      # GeGLU input width (pre-split)
+    scale: float,
+    num_heads: int,
+    head_dim: int,
+    tissue_block: int = 6,
+) -> jax.Array:
+    """Returns the final gene stream [T, G1, E] (bf16)."""
+    t, g1, e = gene_stream.shape
+    num_layers, c, _ = cre_intermediates.shape
+    assert head_dim <= LANE
+    hp = num_heads * LANE
+    slab, biases, norms = packed["slab"], packed["biases"], packed["norms"]
+    slab_cols = slab.shape[-1]
+    assert slab.shape[0] == num_layers * 3
+
+    g1p = _roundup(g1, 16)
+    tp = _roundup(t, tissue_block)
+    cp = _roundup(c, 128)
+    x = jnp.zeros((tp, g1p, e), jnp.bfloat16)
+    x = x.at[:t, :g1].set(gene_stream.astype(jnp.bfloat16))
+    cre = jnp.zeros((num_layers, cp, e), jnp.bfloat16)
+    cre = cre.at[:, :c].set(cre_intermediates.astype(jnp.bfloat16))
 
     kernel = functools.partial(
         _kernel,
@@ -378,3 +394,28 @@ def fused_gene_modulator(
         interpret=(jax.default_backend() == "cpu"),
     )(lens, slopes.astype(jnp.float32), x, cre, slab, biases, norms)
     return out[:t, :g1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "head_dim", "scale", "tissue_block")
+)
+def fused_gene_modulator(
+    gene_stream: jax.Array,
+    cre_intermediates: jax.Array,
+    gene_len: jax.Array,
+    cre_len: jax.Array,
+    layers: dict,
+    slopes: jax.Array | None,
+    scale: float,
+    num_heads: int,
+    head_dim: int,
+    tissue_block: int = 6,
+) -> jax.Array:
+    """Convenience wrapper: packs per call. Prefer pack_gene_layers once at
+    load time + fused_gene_modulator_packed on the hot path."""
+    packed = pack_gene_layers(layers, num_heads, head_dim)
+    return fused_gene_modulator_packed(
+        gene_stream, cre_intermediates, gene_len, cre_len, packed, slopes,
+        layers["ffn_in"]["w"].shape[-1], scale, num_heads, head_dim,
+        tissue_block,
+    )
