@@ -232,6 +232,7 @@ def test_full_model_parity():
         seq2gene=Seq2GeneConfig(
             emb_dim=e, gene_emb_dim=token_e, token_dim=token_e, num_heads=heads,
             num_layers=layers, num_tissues=tissues_all, only_cross_attention=False,
+            multi_head=True,
         ),
         precision=PrecisionPolicy(compute_dtype="float32"),
     )

@@ -101,7 +101,7 @@ def test_two_module_model_parity(model_kind, only_cross, use_res):
         ),
         seq2gene=Seq2GeneConfig(
             emb_dim=e, gene_emb_dim=token_e, token_dim=token_e, num_heads=heads,
-            num_layers=layers, num_tissues=tissues_all,
+            num_layers=layers, num_tissues=tissues_all, multi_head=True,
             only_cross_attention=only_cross, use_res=use_res,
         ),
         precision=PrecisionPolicy(compute_dtype="float32"),

@@ -75,12 +75,22 @@ class ModelManager:
                 )
                 if k in hyper and hyper[k] is not None
             }
-            if "only_cross_attention" in hyper:
-                updates["only_cross_attention"] = hyper["only_cross_attention"]
-            if "use_bigger_head" in hyper:
-                updates["use_bigger_head"] = hyper["use_bigger_head"]
+            for flag in ("only_cross_attention", "use_bigger_head", "multi_head"):
+                if flag in hyper:
+                    updates[flag] = hyper[flag]
             mcfg = dataclasses.replace(mcfg, **updates)
             cfg = dataclasses.replace(cfg, seq2gene=mcfg)
+        # Head layout is authoritative from the weights: multi_head stores one
+        # Sequential per tissue (tissue_expressions.{t}.0.weight); the released
+        # checkpoints share one head (tissue_expressions.0.weight).
+        if "tissue_heads.tissue_expressions.0.weight" in sd:
+            cfg = dataclasses.replace(
+                cfg, seq2gene=dataclasses.replace(cfg.seq2gene, multi_head=False)
+            )
+        elif "tissue_heads.tissue_expressions.0.0.weight" in sd:
+            cfg = dataclasses.replace(
+                cfg, seq2gene=dataclasses.replace(cfg.seq2gene, multi_head=True)
+            )
         # Window-encoder layer flavor is authoritative from the weights.
         uses_ctx = convert.window_encoder_uses_context(sd, "cre_tokenizer")
         cfg = dataclasses.replace(

@@ -55,12 +55,17 @@ class Seq2GeneConfig:
     use_alibi: bool = True
     cross_alibi: bool = False
     use_context: bool = True            # CRE layers cross-attend to cCRE class
-    only_cross_attention: bool = True   # gene layers are cross-attention-only
+    # Released checkpoints run full self+cross gene layers and ONE shared
+    # tissue head (reference configs/vf_model.yaml:17,25 sets
+    # only_cross_attention/multi_head false; tissue specificity comes from the
+    # registry token). Both are also re-detected from checkpoint weights at
+    # load (api/model_manager.py).
+    only_cross_attention: bool = False  # gene layers also self-attend
     use_res: bool = False
     gene_pooling: str = "multi_registry"
     remat: bool = False                 # checkpoint each layer in training
     use_bigger_head: bool = True
-    multi_head: bool = True
+    multi_head: bool = False            # one shared expression head
     head_type: str = "mlp"
     loss_fn: str = "poisson"
     mlp_dout: float = 0.1

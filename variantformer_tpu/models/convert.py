@@ -151,19 +151,32 @@ def convert_window_encoder(sd: StateDict, prefix: str = "", num_heads: int = 8) 
 
 
 def _tissue_heads(sd: StateDict, prefix: str) -> dict:
-    """Bigger-head MLP Sequential indices: 0 Linear, 1 LayerNorm, 4 Linear, 6 Linear."""
-    num = 0
-    while f"{prefix}.{num}.0.weight" in sd:
-        num += 1
+    """Bigger-head MLP Sequential indices: 0 Linear, 1 LayerNorm, 4 Linear, 6 Linear.
+
+    Handles both head layouts (reference seq2gene/modules/layers.py:1057-1086):
+    multi_head=True stores one Sequential per tissue
+    (``tissue_expressions.{t}.0.weight``); the released checkpoints use
+    multi_head=False — ONE shared Sequential (``tissue_expressions.0.weight``)
+    — which converts to a stacked tree with a single entry.
+    """
+    if f"{prefix}.0.0.weight" in sd:  # multi_head: ModuleDict of Sequentials
+        num = 0
+        while f"{prefix}.{num}.0.weight" in sd:
+            num += 1
+        keys = [f"{prefix}.{t}" for t in range(num)]
+    elif f"{prefix}.0.weight" in sd:  # single shared Sequential
+        keys = [prefix]
+    else:
+        raise KeyError(f"no tissue-head weights under {prefix!r}")
     return {
-        "w1": np.stack([sd[f"{prefix}.{t}.0.weight"].T for t in range(num)]),
-        "b1": np.stack([sd[f"{prefix}.{t}.0.bias"] for t in range(num)]),
-        "ln_scale": np.stack([sd[f"{prefix}.{t}.1.weight"] for t in range(num)]),
-        "ln_bias": np.stack([sd[f"{prefix}.{t}.1.bias"] for t in range(num)]),
-        "w2": np.stack([sd[f"{prefix}.{t}.4.weight"].T for t in range(num)]),
-        "b2": np.stack([sd[f"{prefix}.{t}.4.bias"] for t in range(num)]),
-        "w3": np.stack([sd[f"{prefix}.{t}.6.weight"].T for t in range(num)]),
-        "b3": np.stack([sd[f"{prefix}.{t}.6.bias"] for t in range(num)]),
+        "w1": np.stack([sd[f"{k}.0.weight"].T for k in keys]),
+        "b1": np.stack([sd[f"{k}.0.bias"] for k in keys]),
+        "ln_scale": np.stack([sd[f"{k}.1.weight"] for k in keys]),
+        "ln_bias": np.stack([sd[f"{k}.1.bias"] for k in keys]),
+        "w2": np.stack([sd[f"{k}.4.weight"].T for k in keys]),
+        "b2": np.stack([sd[f"{k}.4.bias"] for k in keys]),
+        "w3": np.stack([sd[f"{k}.6.weight"].T for k in keys]),
+        "b3": np.stack([sd[f"{k}.6.bias"] for k in keys]),
     }
 
 

@@ -95,13 +95,15 @@ def init_seq2gene(key, cfg: ModelConfig, dtype=jnp.float32):
     e = mcfg.emb_dim
     keys = jax.random.split(key, 9)
     heads_keys = jax.random.split(keys[8], 3)
-    t = mcfg.num_tissues
+    # multi_head=False (the released configuration) shares one head across
+    # tissues; the stacked-head tree then has a single entry.
+    t = mcfg.num_tissues if mcfg.multi_head else 1
     params = {
         "cre_tokenizer": init_window_encoder(keys[0], wcfg, dtype),
         "gene_tokenizer": init_window_encoder(keys[1], wcfg, dtype),
         "cre_map": _linear(keys[2], mcfg.token_dim, e, None, dtype),
         "gene_map": _linear(keys[3], mcfg.gene_emb_dim, e, None, dtype),
-        "registry": jax.random.normal(keys[4], (t, e), dtype),
+        "registry": jax.random.normal(keys[4], (mcfg.num_tissues, e), dtype),
         "context_embedding": jax.random.normal(keys[5], (9, e), dtype),
         "cre_layers": _context_layer_stack(
             keys[6], mcfg.num_layers - 1, e, mcfg.ffn_hidden_dim, dtype

@@ -316,6 +316,10 @@ def tissue_expression_heads(
     if not mcfg.use_bigger_head or mcfg.head_type != "mlp":
         raise NotImplementedError("only the released bigger-head MLP is wired up")
     x = pooled.astype(compute_dtype)
+    # multi_head=False (released config): one shared head — the stacked-head
+    # tree has a single entry every tissue gathers
+    # (reference seq2gene/modules/layers.py:1077-1086,1134-1139).
+    tissue_ids = tissue_ids if mcfg.multi_head else jnp.zeros_like(tissue_ids)
     w1 = p["w1"][tissue_ids].astype(compute_dtype)   # [T, E, E]
     b1 = p["b1"][tissue_ids].astype(compute_dtype)   # [T, E]
     h = jnp.einsum("dte,tei->dti", x, w1, preferred_element_type=compute_dtype) + b1
