@@ -1,0 +1,135 @@
+"""Multi-chip correctness: sharded forward must MATCH the single-device one.
+
+Round-1 multi-chip evidence was "tiny model produces finite numbers"; these
+tests assert numerical parity instead, on the 8-device CPU mesh
+(tests/conftest.py) with real pjit DP+TP partitioning:
+
+  * 2x4 ("data", "model") mesh at near-real geometry — the REAL 32-head
+    count, so the 4-way "model" shard is exact head parallelism — against
+    the unsharded single-device forward at ~1e-5,
+  * a 2-process ``jax.distributed`` CPU integration run of
+    scripts/launch_genome_wide.py with a localhost coordinator.
+
+The reference has no distributed counterpart (SURVEY.md §2.3); the
+single-device semantics are the correctness contract.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from variantformer_tpu.config import (
+    ModelConfig,
+    PrecisionPolicy,
+    Seq2GeneConfig,
+    WindowEncoderConfig,
+)
+from variantformer_tpu.models.init import init_seq2gene
+from variantformer_tpu.models.seq2gene import seq2gene_forward
+from variantformer_tpu.parallel import mesh as pmesh
+
+from __graft_entry__ import _example_batch
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _near_real_cfg():
+    """Real head count (32) and head-parallel geometry, reduced widths."""
+    return ModelConfig(
+        window_encoder=WindowEncoderConfig(
+            vocab_size=64, embedding_dim=64, num_heads=8, num_layers=2,
+            ffn_hidden_dim=128, token_length=12,
+        ),
+        seq2gene=Seq2GeneConfig(
+            emb_dim=512, gene_emb_dim=64, token_dim=64, num_heads=32,
+            num_layers=3, ffn_hidden_dim=512, num_tissues=63,
+        ),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_sharded_forward_matches_single_device():
+    cfg = _near_real_cfg()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = _example_batch(d=4, c=12, g=6, length=12, t=5, vocab=64)
+
+    single = seq2gene_forward(params, batch, cfg)
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    assert dict(m.shape) == {"data": 2, "model": 4}
+    sharded_out = pmesh.sharded_forward(cfg, m)(
+        pmesh.shard_params(params, m), pmesh.shard_batch(batch, m)
+    )
+
+    for name in single._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(sharded_out, name)),
+            np.asarray(getattr(single, name)),
+            rtol=2e-5, atol=2e-5, err_msg=name,
+        )
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_launcher(tmp_path):
+    """Two jax.distributed processes coordinate over localhost, split the
+    gene list, and each writes its own shard + stats."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # 1 local device per process
+
+    procs = []
+    for pid in range(2):
+        out = tmp_path / f"proc{pid}"
+        procs.append(
+            (
+                out,
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        str(REPO / "scripts" / "launch_genome_wide.py"),
+                        "--synthetic", "--platform", "cpu",
+                        "--tissues", "tissue0",
+                        "--out", str(out),
+                        "--coordinator", f"127.0.0.1:{port}",
+                        "--num-processes", "2", "--process-id", str(pid),
+                    ],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True, env=env, cwd=REPO,
+                ),
+            )
+        )
+
+    outputs = []
+    for _, p in procs:
+        try:
+            out_text, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for _, q in procs:
+                q.kill()
+            raise
+        outputs.append(out_text)
+    for (_, p), text in zip(procs, outputs):
+        assert p.returncode == 0, text[-2000:]
+
+    stats = []
+    for pid, (out, _) in enumerate(procs):
+        path = out / f"host_{pid:03d}" / "stats.json"
+        assert path.exists(), outputs[pid][-2000:]
+        stats.append(json.loads(path.read_text()))
+    # Distributed init must have actually split the 2-gene synthetic set —
+    # a silent single-process fallback would give each process both genes.
+    assert [s["genes"] for s in stats] == [1, 1]
