@@ -1,6 +1,7 @@
 """Tests for auxiliary components: offline training pipeline, visualization
 report, VEP chunking contract, profiling, and the host-sharding helper."""
 
+import os
 import json
 
 import numpy as np
@@ -169,3 +170,65 @@ def test_launch_genome_wide_script(tmp_path):
     assert stats["genes"] == 2
     shards = list((out / "host_000").glob("shard_*.parquet"))
     assert shards
+
+
+def test_retry_with_backoff_recovers_and_raises():
+    from variantformer_tpu.utils.retry import retry_with_backoff
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert retry_with_backoff(flaky, initial_delay=0.01) == "ok"
+    assert calls["n"] == 3
+
+    with pytest.raises(ValueError):
+        retry_with_backoff(
+            lambda: (_ for _ in ()).throw(ValueError("permanent")),
+            timeout=0.05, initial_delay=0.01,
+        )
+
+
+def test_fetcher_retries_transient_transport(tmp_path):
+    """CachedFetcher retries a transport that fails once (reference
+    model_manager.py:31-42 retry semantics) and cleans partial files."""
+    from variantformer_tpu.utils.assets import CachedFetcher
+
+    attempts = {"n": 0}
+
+    def transport(rel, dst_tmp):
+        attempts["n"] += 1
+        with open(dst_tmp, "w") as fh:
+            fh.write("partial")
+        if attempts["n"] == 1:
+            raise OSError("flaky store")
+        with open(dst_tmp, "w") as fh:
+            fh.write("payload")
+
+    f = CachedFetcher(tmp_dir=tmp_path, transport=transport)
+    path = f.get("some/file.bin")
+    assert open(path).read() == "payload"
+    assert attempts["n"] == 2
+    assert not os.path.exists(path + ".partial")
+
+
+def test_multi_try_loaders(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from variantformer_tpu.utils.retry import (
+        multi_try_load_csv,
+        multi_try_load_npz,
+        multi_try_load_pickle,
+    )
+
+    pd.DataFrame({"a": [1, 2]}).to_csv(tmp_path / "t.csv", index=False)
+    assert list(multi_try_load_csv(tmp_path / "t.csv")["a"]) == [1, 2]
+    pd.DataFrame({"b": [3]}).to_pickle(tmp_path / "t.pkl")
+    assert list(multi_try_load_pickle(tmp_path / "t.pkl")["b"]) == [3]
+    np.savez(tmp_path / "t.npz", x=np.arange(3))
+    assert multi_try_load_npz(tmp_path / "t.npz")["x"].tolist() == [0, 1, 2]

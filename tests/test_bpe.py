@@ -117,3 +117,38 @@ def test_native_matches_python(tok):
         ids_p, offs_p = py._encode_word_py(seq)
         assert ids_n == ids_p
         assert offs_n == offs_p
+
+
+def test_train_bpe_matches_hf_trainer(tmp_path):
+    """train_bpe reproduces HuggingFace's BpeTrainer vocabulary exactly
+    (reference utils/seq.py:176-202 delegates to BpeTrainer)."""
+    import numpy as np
+
+    tokenizers = pytest.importorskip("tokenizers")
+    from variantformer_tpu.utils.bpe import save_vocabulary, train_bpe
+    from variantformer_tpu.utils.constants import SPECIAL_TOKENS
+
+    rng = np.random.default_rng(3)
+    seqs = [
+        "".join(rng.choice(list("ACGT"), rng.integers(30, 300)))
+        for _ in range(50)
+    ]
+    seqs += ["ACGTNNNACGTRYACGT", "acgtacgtNNacgt", "ACGTWSKMBDHV"]
+
+    vocab, merges = train_bpe(seqs, 128)
+
+    tok = tokenizers.Tokenizer(tokenizers.models.BPE())
+    trainer = tokenizers.trainers.BpeTrainer(
+        vocab_size=128, min_frequency=2,
+        special_tokens=list(SPECIAL_TOKENS.values()),
+    )
+    tok.train_from_iterator(BPETokenizer.normalize(seqs), trainer)
+    assert vocab == tok.get_vocab()
+
+    # Round trip: saved vocabulary loads and tokenizes losslessly.
+    path = tmp_path / "trained.json"
+    save_vocabulary(str(path), vocab, merges)
+    loaded = BPETokenizer.from_file(str(path))
+    seq = seqs[0]
+    ids, toks = loaded.encode_strand([seq])
+    assert "".join(toks) == seq

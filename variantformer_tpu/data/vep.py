@@ -28,6 +28,7 @@ import pandas as pd
 from variantformer_tpu.config import DatasetConfig
 from variantformer_tpu.data.pipeline import GeneSample, GeneSampleBuilder
 from variantformer_tpu.utils.constants import MAP_REF_CRE_TO_IDX
+from variantformer_tpu.utils.retry import multi_try_load_npz, multi_try_load_pickle
 from variantformer_tpu.utils.sequence import (
     het_iupac_code,
     reverse_complement,
@@ -176,7 +177,7 @@ class VepSampleBuilder:
         cre_path = cre_seq_manifest.get_file_path(chrom, population)
         if cre_path is None:
             raise KeyError(f"no precomputed CREs for {chrom}/{population}")
-        all_cres = pd.read_pickle(cre_path, compression="gzip")
+        all_cres = multi_try_load_pickle(cre_path, compression="gzip")
         all_cres = all_cres.rename(columns={"start": "start_cre", "end": "end_cre"})
 
         cre_map = self.b.cre_map_provider(gene_id).sort_values("start_cre")
@@ -211,7 +212,7 @@ class VepSampleBuilder:
         gene_path = gene_seq_manifest.get_file_path(gene_id, population)
         if gene_path is None:
             raise KeyError(f"no precomputed gene sequence for {gene_id}/{population}")
-        data = np.load(gene_path, allow_pickle=True)
+        data = multi_try_load_npz(gene_path, allow_pickle=True)
         gene_dict = {key: str(data[key]) for key in data.files}
         # Window arithmetic of the reference's precomputed path
         # (vepdataset.py:262-275): on '+' the downstream cap is measured from

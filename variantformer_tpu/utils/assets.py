@@ -28,11 +28,12 @@ def artifacts_dir() -> Path:
     return Path(os.environ.get("VFX_ARTIFACTS_DIR", REPO_ROOT / "_artifacts"))
 
 
+# The released vocabularies are vendored in-repo (vocabs/); the framework is
+# standalone — no runtime dependency on a reference checkout.
 _VOCAB_SEARCH_PATHS = (
     lambda: os.environ.get("VFX_VOCAB_DIR"),
     lambda: REPO_ROOT / "vocabs",
     lambda: artifacts_dir() / "vocabs",
-    lambda: Path("/root/reference/vocabs"),  # read-only reference mount (dev rigs)
 )
 
 
@@ -87,7 +88,20 @@ class CachedFetcher:
                 return dst
             staging = dst + ".partial"
             transport = self._transport or self._default_transport
-            transport(rel, staging)
+            # Transient store/network failures retry with backoff (reference
+            # processors/model_manager.py:31-42 downloads the same way).
+            from variantformer_tpu.utils.retry import retry_with_backoff
+
+            def _attempt():
+                if os.path.exists(staging):
+                    os.unlink(staging)  # drop partial output of a failed try
+                transport(rel, staging)
+
+            retry_with_backoff(
+                _attempt,
+                timeout=float(os.environ.get("VFX_FETCH_RETRY_TIMEOUT", "120")),
+                describe=f"fetch {rel}",
+            )
             try:
                 os.link(staging, dst)  # atomic publish on the same filesystem
             except FileExistsError:

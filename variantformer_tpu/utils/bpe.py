@@ -225,6 +225,82 @@ class BPETokenizer:
         return result
 
 
+def train_bpe(
+    sequences: Iterable[str],
+    vocab_size: int,
+    min_frequency: int = 2,
+    special_tokens: list[str] | None = None,
+) -> tuple[dict[str, int], list[tuple[str, str]]]:
+    """Train a BPE vocabulary over DNA sequences (no HF dependency).
+
+    Mirrors the reference's ``BPEEncoder.train`` (utils/seq.py:176-202), which
+    delegates to HuggingFace's ``BpeTrainer``: ids 0..3 are the special
+    tokens, then the corpus alphabet in sorted order, then merges in creation
+    order. Merge selection is highest pair count, ties broken by the
+    smallest (left id, right id) token-id pair — the same ordering the HF
+    trainer uses (differential-tested exact in tests/test_bpe.py).
+
+    Sequences are normalized first (uppercase, split at non-IUPAC chars), so
+    N runs never merge across.
+    """
+    if special_tokens is None:
+        special_tokens = list(SPECIAL_TOKENS.values())
+    words: dict[tuple[str, ...], int] = {}
+    for sub in BPETokenizer.normalize(sequences):
+        key = tuple(sub)
+        words[key] = words.get(key, 0) + 1
+
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        vocab[tok] = len(vocab)
+    alphabet = sorted({c for w in words for c in w})
+    for c in alphabet:
+        vocab[c] = len(vocab)
+
+    merges: list[tuple[str, str]] = []
+    work = [(list(w), f) for w, f in words.items()]
+    while len(vocab) < vocab_size:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in work:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], vocab[kv[0][0]], vocab[kv[0][1]])
+        )
+        if freq < min_frequency:
+            break
+        merged = left + right
+        merges.append((left, right))
+        vocab[merged] = len(vocab)
+        for syms, _ in work:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i] = merged
+                    del syms[i + 1]
+                else:
+                    i += 1
+    return vocab, merges
+
+
+def save_vocabulary(
+    path: str, vocab: dict[str, int], merges: list[tuple[str, str]]
+) -> None:
+    """Write a HuggingFace-tokenizers-format JSON (what from_file reads)."""
+    data = {
+        "version": "1.0",
+        "model": {
+            "type": "BPE",
+            "vocab": vocab,
+            "merges": [list(m) for m in merges],
+        },
+    }
+    with open(path, "w") as fh:
+        json.dump(data, fh)
+
+
 _DEFAULT: BPETokenizer | None = None
 
 
