@@ -87,10 +87,10 @@ int64_t vfx_consensus(const char* seq, int64_t seq_len, int64_t region_start,
       if (written + a0_len > out_cap) return -1;
       std::memcpy(out + written, a0, a0_len);
       written += a0_len;
-    } else if (is_snp) {                // het SNP: IUPAC code
-      char base = (upper(a0[0]) != upper(ref[0])) ? a0[0] : a1[0];
+    } else if (is_snp) {                // het SNP: IUPAC of the two GT alleles
+      // (REF,ALT) for 0/1; (ALT1,ALT2) for multi-allelic 1/2 hets.
       if (written + 1 > out_cap) return -1;
-      out[written++] = het_code(ref[0], base);
+      out[written++] = het_code(a0[0], a1[0]);
     } else {                            // het indel: apply the non-ref allele
       const char* alt = a0;
       int64_t alt_len = a0_len;

@@ -262,8 +262,10 @@ class ConsensusEngine:
             if a0 == a1:
                 out.append(a0)                      # homozygous: apply allele
             elif var.is_snp:
-                base = a0 if a0.upper() != var.ref.upper() else a1
-                out.append(het_iupac_code(var.ref, base))  # het SNP: IUPAC
+                # IUPAC code of the two GENOTYPE alleles — for 0/1 that is
+                # (REF, ALT); for multi-allelic 1/2 hets it is (ALT1, ALT2),
+                # e.g. A>C,G GT 1/2 -> S, not M.
+                out.append(het_iupac_code(a0, a1))  # het SNP: IUPAC
             else:
                 # heterozygous indel: apply the non-reference allele
                 out.append(a0 if a0.upper() != var.ref.upper() else a1)
