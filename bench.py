@@ -20,13 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from variantformer_tpu.utils.jax_setup import enable_cache
+
+    enable_cache()  # same persistent cache the processors/probes use
 
     import jax.numpy as jnp
 
@@ -35,7 +31,7 @@ def main():
     from variantformer_tpu.models.init import init_seq2gene
     from variantformer_tpu.models.seq2gene import seq2gene_forward
 
-    impl = os.environ.get("VFX_BENCH_IMPL", "fused")
+    impl = os.environ.get("VFX_BENCH_IMPL", "fused2")
     cfg = ModelConfig()
     params = jax.jit(lambda k: init_seq2gene(k, cfg, dtype=jnp.bfloat16))(
         jax.random.key(0)

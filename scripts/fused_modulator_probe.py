@@ -10,7 +10,13 @@ instant, so run this once with a generous timeout before benchmarking.
 """
 
 import argparse
+import os
+import sys
 import time
+
+# Insert the repo root here, NOT via PYTHONPATH: a repo-first PYTHONPATH at
+# interpreter startup breaks the axon TPU plugin's registration on this rig.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +26,10 @@ from variantformer_tpu.models.core import AttnSpec
 from variantformer_tpu.models.init import _context_layer_stack
 from variantformer_tpu.models.seq2gene import _gene_layer
 from variantformer_tpu.ops.alibi import alibi_slopes
-from variantformer_tpu.ops.fused_modulator import fused_gene_modulator
+from variantformer_tpu.ops.fused_modulator import (
+    fused_gene_modulator_packed,
+    pack_gene_layers,
+)
 from variantformer_tpu.utils.jax_setup import enable_cache
 
 E, H, D, F, L = 1536, 32, 48, 2048, 25
@@ -35,6 +44,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--skip-kernel", action="store_true")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--tb", type=int, default=6, help="tissue_block")
     args = ap.parse_args()
     enable_cache()
 
@@ -63,11 +73,14 @@ def main():
         return np.asarray(out, np.float32)
 
     if not args.skip_kernel:
+        # Pack once outside the timed call (as VCFProcessor.set_params does);
+        # timing the per-call packing wrapper inflated round-1 numbers.
+        packed = jax.block_until_ready(pack_gene_layers(layers, H, D))
         out_k = timed(
             "fused kernel",
-            lambda: fused_gene_modulator(
-                gene, cre, jnp.int32(G1), jnp.int32(300), layers, slopes,
-                D ** -0.5, H, D, tissue_block=6,
+            lambda: fused_gene_modulator_packed(
+                gene, cre, jnp.int32(G1), jnp.int32(300), packed, slopes,
+                F, D ** -0.5, H, D, tissue_block=args.tb,
             ),
         )
 
