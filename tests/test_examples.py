@@ -20,7 +20,8 @@ def _examples_on_path(monkeypatch, tmp_path):
         lambda synthetic_root=None: original(str(tmp_path / "env")),
     )
     yield
-    for mod in ("vcf2exp", "variant2exp", "vcf2risk", "vcf2embed", "eqtl_analysis", "_common"):
+    for mod in ("vcf2exp", "variant2exp", "vcf2risk", "vcf2embed", "eqtl_analysis",
+                "snp_indel_predictions", "variant2risk", "_common"):
         sys.modules.pop(mod, None)
 
 
@@ -57,3 +58,19 @@ def test_eqtl_analysis_example():
 
     scored = eqtl_analysis.main()
     assert len(scored) >= 1
+
+
+def test_snp_indel_predictions_example():
+    import snp_indel_predictions
+
+    out = snp_indel_predictions.main()
+    assert {"with_variants", "reference", "delta"} <= set(out.columns)
+    assert len(out) >= 2
+
+
+def test_variant2risk_example():
+    import variant2risk
+
+    out = variant2risk.main()
+    assert {"risk_no_edit", "risk_hom_edit", "delta"} <= set(out.columns)
+    assert len(out) >= 1
