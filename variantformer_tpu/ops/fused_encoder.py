@@ -10,10 +10,11 @@ is independent through the entire depth. That makes the encoder one kernel:
     activations never round-trip HBM between layers,
   * per-block HBM traffic: one read of the embedded tokens, one write of the
     pooled embeddings, plus the weight stream,
-  * head slicing is 128-lane aligned: Q/K/V projections are zero-padded to
-    128 lanes per head (zero columns change nothing in QK^T or PV), and the
-    attention output feeds the out-projection in padded layout — the
-    corresponding out-projection rows are zeros, so no repacking is needed.
+  * head slicing is lane-aligned: Q/K/V projections are zero-padded per
+    head to 64 lanes (zero columns change nothing in QK^T or PV; 64-offset
+    lane slicing is verified on this Mosaic — at the released head_dim 64
+    the padding is zero-cost), and the attention output feeds the
+    out-projection in padded layout, whose matching rows are zeros.
 
 Implements the plain (use_context=False) layer flavor — the released
 tokenizer checkpoints — with the reference residual topology:
@@ -32,7 +33,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-HEAD_LANES = 128  # per-head padded width for aligned lane slicing
+
+
+def _head_lanes(head_dim: int) -> int:
+    """Per-head padded width. 64-offset lane slicing of VMEM values is
+    verified on this Mosaic, so head_dim<=64 pads to 64 (no waste at the
+    released encoder's head_dim 64 — round 1's 128-lane padding doubled the
+    QKV/out projection FLOPs)."""
+    if head_dim <= 64:
+        return 64
+    if head_dim <= 128:
+        return 128
+    raise NotImplementedError(f"head_dim {head_dim} > 128")
 
 
 def _kernel(
@@ -55,6 +67,7 @@ def _kernel(
     window_block: int,
     seq_len: int,
     scale: float,
+    head_lanes: int,
 ):
     wb_idx = pl.program_id(0)
     layer = pl.program_id(1)
@@ -89,10 +102,10 @@ def _kernel(
     for w in range(window_block):          # static unrolls: aligned slices only
         r0 = w * seq_len
         for h in range(num_heads):
-            c0 = h * HEAD_LANES
-            q = q_all[r0 : r0 + seq_len, c0 : c0 + HEAD_LANES]
-            k = k_all[r0 : r0 + seq_len, c0 : c0 + HEAD_LANES]
-            v = v_all[r0 : r0 + seq_len, c0 : c0 + HEAD_LANES]
+            c0 = h * head_lanes
+            q = q_all[r0 : r0 + seq_len, c0 : c0 + head_lanes]
+            k = k_all[r0 : r0 + seq_len, c0 : c0 + head_lanes]
+            v = v_all[r0 : r0 + seq_len, c0 : c0 + head_lanes]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -107,7 +120,7 @@ def _kernel(
                 p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                               # [L, 128]; pad cols stay zero
-            attn_scratch[r0 : r0 + seq_len, c0 : c0 + HEAD_LANES] = o.astype(
+            attn_scratch[r0 : r0 + seq_len, c0 : c0 + head_lanes] = o.astype(
                 jnp.bfloat16
             )
 
@@ -143,17 +156,17 @@ def _kernel(
         out_ref[...] = pooled.astype(out_ref.dtype)
 
 
-def _pad_heads(w, b, num_heads, head_dim):
-    """[*, H*D] projection -> [*, H*128] with zero lanes after each head."""
+def _pad_heads(w, b, num_heads, head_dim, lanes):
+    """[*, H*D] projection -> [*, H*lanes] with zero lanes after each head."""
 
     e_in = w.shape[0]
     w = w.reshape(e_in, num_heads, head_dim)
-    wp = jnp.zeros((e_in, num_heads, HEAD_LANES), w.dtype)
+    wp = jnp.zeros((e_in, num_heads, lanes), w.dtype)
     wp = wp.at[:, :, :head_dim].set(w)
     b = b.reshape(num_heads, head_dim)
-    bp = jnp.zeros((num_heads, HEAD_LANES), b.dtype)
+    bp = jnp.zeros((num_heads, lanes), b.dtype)
     bp = bp.at[:, :head_dim].set(b)
-    return wp.reshape(e_in, num_heads * HEAD_LANES), bp.reshape(-1)
+    return wp.reshape(e_in, num_heads * lanes), bp.reshape(-1)
 
 
 @functools.partial(
@@ -171,9 +184,9 @@ def fused_window_encoder(
     """Returns pooled window embeddings [N, E] (bf16)."""
     n, l, e = x_emb.shape
     head_dim = e // num_heads
-    assert head_dim <= HEAD_LANES
+    lanes = _head_lanes(head_dim)
     num_layers = layers["norm1"]["scale"].shape[0]
-    hp = num_heads * HEAD_LANES
+    hp = num_heads * lanes
 
     n_pad = -(-n // window_block) * window_block
     if n_pad != n:
@@ -198,7 +211,7 @@ def fused_window_encoder(
         for layer_i in range(nl):
             w = wqkv[layer_i, :, :, i, :].reshape(e, num_heads * head_dim)
             b = bqkv[layer_i, :, i, :].reshape(num_heads * head_dim)
-            wp, bp = _pad_heads(w, b, num_heads, head_dim)
+            wp, bp = _pad_heads(w, b, num_heads, head_dim, lanes)
             ws.append(wp)
             bs.append(bp)
         return cast(jnp.stack(ws)), cast(jnp.stack(bs))
@@ -208,7 +221,7 @@ def fused_window_encoder(
     wv, bv = slot(2)
     # out-projection consumes the padded attention layout: insert zero rows.
     wout = layers["mixer"]["out"]["w"].reshape(nl, num_heads, head_dim, e)
-    wout_p = jnp.zeros((nl, num_heads, HEAD_LANES, e), wout.dtype)
+    wout_p = jnp.zeros((nl, num_heads, lanes, e), wout.dtype)
     wout_p = cast(wout_p.at[:, :, :head_dim, :].set(wout).reshape(nl, hp, e))
 
     weights = [
@@ -228,6 +241,7 @@ def fused_window_encoder(
         window_block=window_block,
         seq_len=l,
         scale=scale,
+        head_lanes=lanes,
     )
     w_specs = [
         pl.BlockSpec(
