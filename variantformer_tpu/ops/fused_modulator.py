@@ -12,13 +12,15 @@ per-layer weights (and the layer's CRE intermediate) stream through:
     model fit: a whole layer's padded weights are ~60 MB, one phase's ~25 MB.
   * the gene stream [TB, G1, E] lives in VMEM scratch for the whole depth;
     a second scratch buffer carries the intra-layer stream between phases,
-  * per-head projections are zero-padded to 64 lanes (head_dim 48 -> 64;
-    64-offset lane slicing of VMEM values is verified on this Mosaic), and
-    out-projections are stored TRANSPOSED ([E, H*64]) so every slab shares
-    the [E, cols] shape; the kernel contracts their second dims,
-  * self-attention is computed per head over the whole [TB*G1, TB*G1] row
-    space with a block-diagonal mask (tissues don't attend across blocks),
-    so each head is one large MXU matmul instead of TB small ones,
+  * heads are sliced UNPADDED at head_dim-offsets (48-offset lane slicing
+    of VMEM values is verified on this Mosaic — scripts/
+    mosaic_capability_probe.py; round 1's 64-lane padding cost 1.33x on
+    every projection), and out-projections are stored TRANSPOSED
+    ([E, H*D]) so every slab shares the [E, cols] shape; the kernel
+    contracts their second dims,
+  * self-attention scores are a batched [TB, G1P, G1P] dot_general (batch
+    dim = tissue: tissues never attend across blocks), so there is no
+    block-diagonal score waste and the masks are [G1P, G1P],
   * cross-attention K/V are projected from the layer's CRE intermediate
     once per layer into VMEM scratch and shared by all tissue rows.
 
@@ -40,7 +42,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-LANE = 64  # per-head padded width (head_dim 48 -> 64)
 
 
 def _kernel(
@@ -54,12 +55,14 @@ def _kernel(
     out_ref,       # [TB, G1P, E]
     x_state,       # [TB, G1P, E] bf16 scratch: layer input (res_long)
     h_state,       # [TB, G1P, E] bf16 scratch: intra-layer stream
-    attn_scratch,  # [TB*G1P, H*64] bf16 scratch
-    ck_scratch,    # [CP, H*64] bf16 scratch
-    cv_scratch,    # [CP, H*64] bf16 scratch
+    attn_scratch,  # [TB*G1P, H*D] bf16 scratch
+    qkv_scratch,   # [TB*G1P, 3*H*D] bf16 scratch: staged q|k|v projections
+    ck_scratch,    # [CP, H*D] bf16 scratch
+    cv_scratch,    # [CP, H*D] bf16 scratch
     *,
     num_layers: int,
     num_heads: int,
+    head_dim: int,
     tissue_block: int,
     g1p: int,
     scale: float,
@@ -68,7 +71,8 @@ def _kernel(
     step = pl.program_id(1)
     phase = step % 3
     e = x_ref.shape[-1]
-    hp = num_heads * LANE
+    lane = head_dim
+    hp = num_heads * lane
     rows = tissue_block * g1p
     cp = cre_ref.shape[1]
     gene_len = lens_ref[0]
@@ -101,12 +105,14 @@ def _kernel(
         p = jnp.exp(s - m)
         return p / jnp.sum(p, axis=-1, keepdims=True)
 
-    def headwise_attention(q_all, k_all, v_all, bias_of_head):
+    def headwise_attention(q_ref, k_ref, v_ref, bias_of_head):
+        # Slice each head straight from VMEM refs — holding whole-projection
+        # values live across the head unroll spills to scoped VMEM.
         for h in range(num_heads):
-            c0 = h * LANE
-            qh = q_all[:, c0 : c0 + LANE]
-            kh = k_all[:, c0 : c0 + LANE]
-            vh = v_all[:, c0 : c0 + LANE]
+            c0 = h * lane
+            qh = q_ref[:, c0 : c0 + lane]
+            kh = k_ref[:, c0 : c0 + lane]
+            vh = v_ref[:, c0 : c0 + lane]
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -117,7 +123,7 @@ def _kernel(
                 p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            attn_scratch[:, c0 : c0 + LANE] = o.astype(jnp.bfloat16)
+            attn_scratch[:, c0 : c0 + lane] = o.astype(jnp.bfloat16)
 
     def proj(h_flat, col0, cols):
         w = slab_ref[0, :, col0 : col0 + cols]
@@ -135,9 +141,11 @@ def _kernel(
     def _self_attention():
         x = x_state[...]
         h1 = layer_norm(x).reshape(rows, e)
-        q = proj(h1, 0, hp)
-        k = proj(h1, hp, hp)
-        v = proj(h1, 2 * hp, hp)
+        # Stage q|k|v in VMEM scratch: keeping them as SSA values across the
+        # 32-head unroll costs ~60 MB of register-allocator spill slots.
+        qkv_scratch[:, 0:hp] = proj(h1, 0, hp)
+        qkv_scratch[:, hp : 2 * hp] = proj(h1, hp, hp)
+        qkv_scratch[:, 2 * hp : 3 * hp] = proj(h1, 2 * hp, hp)
         # Tissues never attend across blocks, so scores are computed as a
         # batched (batch dim = tissue) [TB, G1P, G1P] dot_general rather than
         # one [rows, rows] matmul with a block-diagonal mask — TBx fewer
@@ -147,10 +155,14 @@ def _kernel(
         valid = j2 < gene_len
         dist = jnp.abs(i2 - j2).astype(jnp.float32)
         for h in range(num_heads):
-            c0 = h * LANE
-            qh = q[:, c0 : c0 + LANE].reshape(tissue_block, g1p, LANE)
-            kh = k[:, c0 : c0 + LANE].reshape(tissue_block, g1p, LANE)
-            vh = v[:, c0 : c0 + LANE].reshape(tissue_block, g1p, LANE)
+            c0 = h * lane
+            qh = qkv_scratch[:, c0 : c0 + lane].reshape(tissue_block, g1p, lane)
+            kh = qkv_scratch[:, hp + c0 : hp + c0 + lane].reshape(
+                tissue_block, g1p, lane
+            )
+            vh = qkv_scratch[:, 2 * hp + c0 : 2 * hp + c0 + lane].reshape(
+                tissue_block, g1p, lane
+            )
             s = jax.lax.dot_general(
                 qh, kh, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -164,7 +176,7 @@ def _kernel(
                 p.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            attn_scratch[:, c0 : c0 + LANE] = o.reshape(rows, LANE).astype(
+            attn_scratch[:, c0 : c0 + lane] = o.reshape(rows, lane).astype(
                 jnp.bfloat16
             )
         sa = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
@@ -174,7 +186,7 @@ def _kernel(
     def _cross_attention():
         h = h_state[...]
         h2n = layer_norm(h).reshape(rows, e)
-        q2 = proj(h2n, 0, hp)
+        qkv_scratch[:, 0:hp] = proj(h2n, 0, hp)
         cre = cre_ref[0].astype(jnp.bfloat16)
         ck_scratch[...] = (
             matmul(cre, slab_ref[0, :, hp : 2 * hp]).astype(jnp.bfloat16)
@@ -190,7 +202,7 @@ def _kernel(
         def cross_bias(h):
             return jnp.where(cvalid, 0.0, MASK_VALUE)
 
-        headwise_attention(q2, ck_scratch[...], cv_scratch[...], cross_bias)
+        headwise_attention(qkv_scratch, ck_scratch, cv_scratch, cross_bias)
         ca = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
         h_state[...] = ca + h
 
@@ -216,28 +228,6 @@ def _kernel(
         out_ref[...] = x_state[...]
 
 
-def _pad_head_cols(w, b, num_heads, head_dim):
-    """[L, E, H*D] projection -> [L, E, H*64] with zero lanes after each head."""
-    nl, e_in = w.shape[0], w.shape[1]
-    w = w.reshape(nl, e_in, num_heads, head_dim)
-    wp = jnp.zeros((nl, e_in, num_heads, LANE), w.dtype).at[..., :head_dim].set(w)
-    b = b.reshape(nl, num_heads, head_dim)
-    bp = jnp.zeros((nl, num_heads, LANE), b.dtype).at[..., :head_dim].set(b)
-    return (
-        wp.reshape(nl, e_in, num_heads * LANE),
-        bp.reshape(nl, num_heads * LANE),
-    )
-
-
-def _pad_head_rows_t(w, num_heads, head_dim):
-    """[L, H*D, E] out-projection -> transposed [L, E, H*64], zero pad lanes."""
-    nl, e_out = w.shape[0], w.shape[2]
-    w = w.reshape(nl, num_heads, head_dim, e_out)
-    wp = jnp.zeros((nl, num_heads, LANE, e_out), w.dtype)
-    wp = wp.at[:, :, :head_dim, :].set(w)
-    return wp.reshape(nl, num_heads * LANE, e_out).transpose(0, 2, 1)
-
-
 def _roundup(n, m):
     return -(-n // m) * m
 
@@ -250,7 +240,7 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
     whole gene stack (~1.2 GB at full size), which must not run per forward.
     """
     num_layers, e, _ = layers["mixer"]["wqkv"]["w"].shape
-    hp = num_heads * LANE
+    hp = num_heads * head_dim
     ffn = layers["ffn_in"]["w"].shape[-1]
     # Slab layout per phase (cols, all slabs share width SLAB):
     #   phase 0 (self):  wq | wk | wv | wo^T          -> 4*HP
@@ -259,14 +249,13 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
     slab_cols = _roundup(max(4 * hp, ffn + ffn // 2), 128)
 
     cast = lambda a: a.astype(jnp.bfloat16)
-    # Head-major packed QKV (H, 3, D) -> per-slot padded [L, E, H*64].
+    # Head-major packed QKV (H, 3, D) -> per-slot [L, E, H*D], unpadded.
     wqkv = layers["mixer"]["wqkv"]["w"].reshape(num_layers, e, num_heads, 3, head_dim)
     bqkv = layers["mixer"]["wqkv"]["b"].reshape(num_layers, num_heads, 3, head_dim)
     qkv = [
-        _pad_head_cols(
-            wqkv[:, :, :, i, :].reshape(num_layers, e, num_heads * head_dim),
-            bqkv[:, :, i, :].reshape(num_layers, num_heads * head_dim),
-            num_heads, head_dim,
+        (
+            wqkv[:, :, :, i, :].reshape(num_layers, e, hp),
+            bqkv[:, :, i, :].reshape(num_layers, hp),
         )
         for i in range(3)
     ]
@@ -274,19 +263,15 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
     cwkv = layers["cross"]["wkv"]["w"].reshape(num_layers, e, num_heads, 2, head_dim)
     cbkv = layers["cross"]["wkv"]["b"].reshape(num_layers, num_heads, 2, head_dim)
     ckv = [
-        _pad_head_cols(
-            cwkv[:, :, :, i, :].reshape(num_layers, e, num_heads * head_dim),
-            cbkv[:, :, i, :].reshape(num_layers, num_heads * head_dim),
-            num_heads, head_dim,
+        (
+            cwkv[:, :, :, i, :].reshape(num_layers, e, hp),
+            cbkv[:, :, i, :].reshape(num_layers, hp),
         )
         for i in range(2)
     ]
-    cq = _pad_head_cols(
-        layers["cross"]["wq"]["w"], layers["cross"]["wq"]["b"],
-        num_heads, head_dim,
-    )
-    wo_t = _pad_head_rows_t(layers["mixer"]["out"]["w"], num_heads, head_dim)
-    cwo_t = _pad_head_rows_t(layers["cross"]["out"]["w"], num_heads, head_dim)
+    cq = (layers["cross"]["wq"]["w"], layers["cross"]["wq"]["b"])
+    wo_t = layers["mixer"]["out"]["w"].transpose(0, 2, 1)   # [L, E, H*D]
+    cwo_t = layers["cross"]["out"]["w"].transpose(0, 2, 1)  # [L, E, H*D]
     wf2_t = layers["ffn_out"]["w"].transpose(0, 2, 1)  # [L, E, ffn//2]
 
     def slab_phase(mats):
@@ -354,8 +339,7 @@ def fused_gene_modulator_packed(
     """Returns the final gene stream [T, G1, E] (bf16)."""
     t, g1, e = gene_stream.shape
     num_layers, c, _ = cre_intermediates.shape
-    assert head_dim <= LANE
-    hp = num_heads * LANE
+    hp = num_heads * head_dim
     slab, biases, norms = packed["slab"], packed["biases"], packed["norms"]
     slab_cols = slab.shape[-1]
     assert slab.shape[0] == num_layers * 3
@@ -372,6 +356,7 @@ def fused_gene_modulator_packed(
         _kernel,
         num_layers=num_layers,
         num_heads=num_heads,
+        head_dim=head_dim,
         tissue_block=tissue_block,
         g1p=g1p,
         scale=scale,
@@ -399,6 +384,7 @@ def fused_gene_modulator_packed(
                 pltpu.VMEM((tissue_block, g1p, e), jnp.bfloat16),
                 pltpu.VMEM((tissue_block, g1p, e), jnp.bfloat16),
                 pltpu.VMEM((tissue_block * g1p, hp), jnp.bfloat16),
+                pltpu.VMEM((tissue_block * g1p, 3 * hp), jnp.bfloat16),
                 pltpu.VMEM((cp, hp), jnp.bfloat16),
                 pltpu.VMEM((cp, hp), jnp.bfloat16),
             ],
