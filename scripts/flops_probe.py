@@ -1,9 +1,14 @@
 #!/usr/bin/env python
-"""Attention / model FLOPs-utilization probe (BASELINE.json metric).
+"""Model FLOPs-utilization probe (BASELINE.json metric).
 
-Measures achieved TFLOP/s for the model's attention stages and the full
-forward against the chip's bf16 peak, using host-transfer syncing (the relay's
-ready events are unreliable). Emits a JSON report.
+Times the full vcf2exp forward at released geometry for each impl
+(xla / fused / fused2) with host-transfer syncing (the relay's ready events
+are unreliable), and computes MFU from the XLA compiler's own cost analysis
+of the compiled executable — not hand estimates. Emits flops_report.json.
+
+Round-2 note: the per-layer Pallas flash-attention path was retired (XLA
+won at every per-layer shape; see NOTES.md). Pallas wins come from the
+fused whole-stack kernels, which impl=fused/fused2 measure.
 """
 
 from __future__ import annotations
@@ -19,26 +24,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def _timed(fn, *args, reps=20, inner=None):
-    import jax
-    import numpy as np
-
-    if inner is None:
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[1]
-    return inner
-
-
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None, help="write JSON here (else stdout)")
+    ap.add_argument("--impls", default="fused2,fused,xla")
     args = ap.parse_args()
 
     import jax
@@ -49,83 +38,68 @@ def main():
 
     enable_cache()
 
-    from variantformer_tpu.ops import attention as attn_xla
-    from variantformer_tpu.ops import flash
-    from variantformer_tpu.ops.alibi import alibi_slopes
-
-    report = {"device": str(jax.devices()[0]), "peak_tflops_bf16": V5E_BF16_PEAK_TFLOPS}
-
-    REPS = 20
-
-    def chain_time(f, q, k, v, kv_len, slopes, scale):
-        @jax.jit
-        def g(q, k, v, kv_len, slopes):
-            def body(i, q):
-                out = f(q, k, v, kv_len, slopes, scale)
-                return q + 0.0 * out
-            return jax.lax.fori_loop(0, REPS, body, q)
-
-        def sync(r):  # transfer a tiny slice, not the whole array
-            return np.asarray(r[0, 0, 0, 0])
-
-        sync(g(q, k, v, kv_len, slopes))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sync(g(q, k, v, kv_len, slopes))
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[1] / REPS
-
-    stages = {
-        "encoder_self_attention": (584, 200, 8, 64, True),
-        "cre_self_attention": (8, 512, 32, 48, True),
-        "gene_self_attention": (54, 208, 32, 48, True),
-    }
-    for name, (b, s, h, d, alibi) in stages.items():
-        ks = jax.random.split(jax.random.key(0), 3)
-        q, k, v = (jax.random.normal(ks[i], (b, s, h, d), jnp.bfloat16) for i in range(3))
-        kv_len = jnp.full((b,), s, jnp.int32)
-        slopes = jnp.asarray(alibi_slopes(h)) if alibi else None
-        scale = d ** -0.5
-        flops = 4 * b * h * s * s * d
-        entry = {}
-        for impl_name, f in (("xla", attn_xla.self_attention),
-                             ("pallas", flash.self_attention)):
-            dt = chain_time(f, q, k, v, kv_len, slopes, scale)
-            entry[impl_name] = {
-                "ms": round(dt * 1e3, 3),
-                "tflops_per_s": round(flops / dt / 1e12, 2),
-                "pct_of_peak": round(100 * flops / dt / 1e12 / V5E_BF16_PEAK_TFLOPS, 1),
-            }
-        report[name] = entry
-
-    # full model
     from __graft_entry__ import _example_batch
     from variantformer_tpu.config import ModelConfig
     from variantformer_tpu.models.init import init_seq2gene
     from variantformer_tpu.models.seq2gene import seq2gene_forward
+    from variantformer_tpu.ops.fused_encoder import fused_window_encoder  # noqa: F401
+    from variantformer_tpu.ops.fused_modulator import pack_gene_layers
+
+    report = {
+        "device": str(jax.devices()[0]),
+        "peak_tflops_bf16": V5E_BF16_PEAK_TFLOPS,
+        "geometry": "E=1536 H=32 L=25 T=54, 384 CREs + 200 gene windows x 200 tok",
+    }
 
     cfg = ModelConfig()
-    params = init_seq2gene(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-    batch = _example_batch(d=1, c=384, g=200, length=200, t=54, vocab=500)
-    fn = jax.jit(
-        lambda p, b: seq2gene_forward(p, b, cfg, impl="fused").pred_expression
+    params = jax.jit(lambda k: init_seq2gene(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
     )
-    np.asarray(fn(params, batch))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(fn(params, batch))
-        ts.append(time.perf_counter() - t0)
-    dt = sorted(ts)[1]
-    # FLOPs estimate: window encoders (~5.3 TF) + cre stack (~0.44) +
-    # per-tissue gene stack (~10.3 at T=54) — see NOTES.md.
-    model_flops = 15.6e12
-    report["full_model_vcf2exp_54t"] = {
-        "ms": round(dt * 1e3, 1),
-        "est_tflops_per_s": round(model_flops / dt / 1e12, 1),
-        "pct_of_peak": round(100 * model_flops / dt / 1e12 / V5E_BF16_PEAK_TFLOPS, 1),
+    params = dict(params)
+    params["gene_layers_packed"] = pack_gene_layers(
+        params["gene_layers"], cfg.seq2gene.num_heads,
+        cfg.seq2gene.emb_dim // cfg.seq2gene.num_heads,
+    )
+    batch = _example_batch(
+        d=1, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
+        t=54, vocab=cfg.window_encoder.vocab_size,
+    )
+
+    # MFU numerator: analytic matmul-only model FLOPs (utils/flops.py,
+    # CPU-cost-analysis-validated in tests). The TPU backend's
+    # compiled.cost_analysis() measured ~13x low after fusion on this rig
+    # and cannot see inside the Pallas custom calls — do not use it.
+    from variantformer_tpu.utils.flops import seq2gene_flops
+
+    breakdown = seq2gene_flops(cfg, d=1, c=384, g=cfg.dataset.max_chunks, t=54)
+    model_flops = breakdown["total"]
+    report["model_flops_analytic"] = {
+        k: round(v / 1e12, 3) for k, v in breakdown.items()
     }
+
+    for impl in args.impls.split(","):
+        fn = jax.jit(
+            lambda p, b, impl=impl: seq2gene_forward(
+                p, b, cfg, impl=impl
+            ).pred_expression
+        )
+        np.asarray(fn(params, batch))  # warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(fn(params, batch))
+            ts.append(time.perf_counter() - t0)
+        dt = sorted(ts)[len(ts) // 2]
+        entry = {
+            "ms": round(dt * 1e3, 1),
+            "genes_per_s": round(1.0 / dt, 3),
+            "tflops_per_s": round(model_flops / dt / 1e12, 1),
+            "mfu_pct": round(
+                100 * model_flops / dt / 1e12 / V5E_BF16_PEAK_TFLOPS, 1
+            ),
+        }
+        report[f"full_model_{impl}"] = entry
+        print(impl, entry, flush=True)
 
     text = json.dumps(report, indent=2)
     if args.out:

@@ -232,3 +232,75 @@ def test_multi_try_loaders(tmp_path):
     assert list(multi_try_load_pickle(tmp_path / "t.pkl")["b"]) == [3]
     np.savez(tmp_path / "t.npz", x=np.arange(3))
     assert multi_try_load_npz(tmp_path / "t.npz")["x"].tolist() == [0, 1, 2]
+
+
+def test_analytic_flops_vs_cpu_cost_analysis():
+    """utils/flops.py (the MFU numerator) must bracket the XLA CPU compiler's
+    full cost analysis. CPU cost analysis counts each lax.scan body ONCE
+    regardless of trip count, so the model config uses scan length 1
+    everywhere (1 encoder layer, 1 gene layer, 0 CRE layers); the CRE layer
+    formula is validated separately against a directly-jitted layer. The
+    matmul-only analytic count must be <= CA (which also counts
+    softmax/norm/elementwise) <= analytic * 1.3."""
+    from __graft_entry__ import _example_batch
+    from variantformer_tpu.config import (
+        ModelConfig,
+        PrecisionPolicy,
+        Seq2GeneConfig,
+        WindowEncoderConfig,
+    )
+    from variantformer_tpu.models import core
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+    from variantformer_tpu.utils import flops as F
+
+    cfg = ModelConfig(
+        window_encoder=WindowEncoderConfig(
+            vocab_size=64, embedding_dim=128, num_heads=4, num_layers=1,
+            ffn_hidden_dim=256, token_length=64,
+        ),
+        seq2gene=Seq2GeneConfig(
+            emb_dim=256, gene_emb_dim=128, token_dim=128, num_heads=8,
+            num_layers=1, ffn_hidden_dim=512, num_tissues=16,
+        ),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+
+    def ca_flops(lowerable):
+        cost = lowerable.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"])
+
+    d, c, g, t = 2, 48, 24, 8
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = _example_batch(d=d, c=c, g=g, length=64, t=t, vocab=64)
+    fn = jax.jit(lambda p, b: seq2gene_forward(p, b, cfg).pred_expression)
+    ca = ca_flops(fn.lower(params, batch))
+    analytic = F.seq2gene_flops(cfg, d=d, c=c, g=g, t=t)["total"]
+    assert analytic <= ca <= analytic * 1.3, (analytic, ca)
+
+    # CRE context-encoder layer (runs num_layers-1 times in the model; its
+    # per-layer cost is cre_stack_flops / (num_layers-1)).
+    cfg2 = ModelConfig(
+        seq2gene=Seq2GeneConfig(
+            emb_dim=256, num_heads=8, num_layers=2, ffn_hidden_dim=512,
+        ),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    spec = core.AttnSpec(num_heads=8, head_dim=32)
+    layer_p = jax.tree.map(
+        lambda a: a[0], init_seq2gene(jax.random.key(0), cfg2)["cre_layers"]
+    )
+    x = jax.numpy.ones((d, c, 256))
+    lens = jax.numpy.full((d,), c, jax.numpy.int32)
+    layer_fn = jax.jit(
+        lambda p, x: core.context_encoder_layer(
+            p, x, x, lens, lens, None, spec, jax.numpy.float32
+        )
+    )
+    ca_layer = ca_flops(layer_fn.lower(layer_p, x))
+    analytic_layer = F.cre_stack_flops(cfg2, d, c) / (cfg2.seq2gene.num_layers - 1)
+    assert analytic_layer <= ca_layer <= analytic_layer * 1.3, (
+        analytic_layer, ca_layer,
+    )

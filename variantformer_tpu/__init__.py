@@ -4,8 +4,8 @@ gene-expression prediction from diploid genomes (VariantFormer-class capability)
 Built from scratch on JAX / XLA / Pallas / pjit: diploid VCF+FASTA windows are
 encoded with IUPAC ambiguity codes, BPE-tokenized on the host, and run through a
 hierarchical transformer (CRE window encoder -> interleaved CRE<->gene
-cross-attention stack -> per-tissue expression heads) with Pallas flash-attention
-kernels on the TPU compute path.
+cross-attention stack -> per-tissue expression heads) with fused whole-stack
+Pallas kernels on the TPU compute path.
 
 Public surface mirrors the reference framework (czi-ai/variantformer):
   - api.VCFProcessor     — vcf2exp expression prediction

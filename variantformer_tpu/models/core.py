@@ -31,7 +31,7 @@ class AttnSpec:
 
     num_heads: int
     head_dim: int
-    impl: str = "xla"  # "xla" | "pallas"
+    impl: str = "xla"
 
     @property
     def scale(self) -> float:
@@ -88,12 +88,7 @@ def self_attention_block(
     b, s, e = x.shape
     qkv = linear(p["wqkv"], x, compute_dtype)
     q, k, v = split_packed_heads(qkv, 3, spec.num_heads, spec.head_dim)
-    if spec.impl == "pallas":
-        from variantformer_tpu.ops import flash
-
-        out = flash.self_attention(q, k, v, kv_len, slopes, spec.scale)
-    else:
-        out = attn_xla.self_attention(q, k, v, kv_len, slopes, spec.scale)
+    out = attn_xla.self_attention(q, k, v, kv_len, slopes, spec.scale)
     out = out.reshape(b, s, e)
     return linear(p["out"], out, compute_dtype)
 
@@ -111,12 +106,7 @@ def cross_attention_block(
     q = q.reshape(b, sq, spec.num_heads, spec.head_dim)
     kv = linear(p["wkv"], ctx, compute_dtype)
     k, v = split_packed_heads(kv, 2, spec.num_heads, spec.head_dim)
-    if spec.impl == "pallas":
-        from variantformer_tpu.ops import flash
-
-        out = flash.cross_attention(q, k, v, None, ctx_len, spec.scale)
-    else:
-        out = attn_xla.cross_attention(q, k, v, None, ctx_len, spec.scale)
+    out = attn_xla.cross_attention(q, k, v, None, ctx_len, spec.scale)
     out = out.reshape(b, sq, e)
     return linear(p["out"], out, compute_dtype)
 

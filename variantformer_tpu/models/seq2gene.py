@@ -81,23 +81,18 @@ def _gene_cross_attention(
     kv = core.linear(p["wkv"], ctx, compute_dtype)
     kv = kv.reshape(d, ctx.shape[1], spec.num_heads, 2, spec.head_dim)
     k, v = kv[..., 0, :], kv[..., 1, :]
-    if spec.impl == "pallas":
-        from variantformer_tpu.ops import flash
-
-        out = flash.cross_attention_shared_kv(q, k, v, ctx_len, spec.scale)
-    else:
-        scores = jnp.einsum(
-            "dtqhe,dkhe->dthqk", q, k, preferred_element_type=jnp.float32
-        ) * spec.scale
-        key_valid = jnp.arange(ctx.shape[1])[None, :] < ctx_len[:, None]  # [D, Sk]
-        scores = jnp.where(
-            key_valid[:, None, None, None, :], scores, attn_xla.MASK_VALUE
-        )
-        weights = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum(
-            "dthqk,dkhe->dtqhe", weights.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        )
+    scores = jnp.einsum(
+        "dtqhe,dkhe->dthqk", q, k, preferred_element_type=jnp.float32
+    ) * spec.scale
+    key_valid = jnp.arange(ctx.shape[1])[None, :] < ctx_len[:, None]  # [D, Sk]
+    scores = jnp.where(
+        key_valid[:, None, None, None, :], scores, attn_xla.MASK_VALUE
+    )
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "dthqk,dkhe->dtqhe", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
     out = out.astype(compute_dtype).reshape(d, t, sq, e)
     return core.linear(p["out"], out, compute_dtype)
 

@@ -1,7 +1,9 @@
 """Batched masked attention with optional symmetric ALiBi bias.
 
-This is the XLA (jnp) implementation, which doubles as the differential-test
-oracle for the Pallas flash kernels in ops/flash.py. Semantics replicate
+This is the XLA (jnp) implementation — the production per-layer attention
+path (XLA's fused attention beat hand-written per-layer Pallas kernels at
+every model shape; the Pallas wins live in the fused whole-stack kernels,
+ops/fused_encoder.py and ops/fused_modulator.py). Semantics replicate
 flash-attn's non-causal varlen path as used by the reference
 (/root/reference/seq2gene/modules/layers.py:328-488):
 
