@@ -133,18 +133,67 @@ def test_shard_query_across_hosts():
 
 
 def test_anatomagram_svg(tmp_path):
-    from variantformer_tpu.api.anatomagram import anatomagram_html, anatomagram_svg
+    from variantformer_tpu.api.anatomagram import (
+        anatomagram_html,
+        anatomagram_svg,
+        load_tissue_uberon_map,
+        region_values,
+    )
 
     values = {
         "liver": 2.0, "brain - cortex": 0.5, "lung": 1.0,
         "kidney - cortex": 0.8, "K562": 0.3, "whole blood": 1.4,
+        "skin - sun exposed (lower leg)": 0.9,
+        "skin - not sun exposed (suprapubic)": 0.2,
+        "testis": 0.4, "uterus": 0.6, "brain - cerebellum": 1.1,
     }
-    svg = anatomagram_svg(values)
+    svg = anatomagram_svg(values, view="male")
     assert svg.startswith("<svg") and svg.endswith("</svg>")
-    assert "liver" in svg and "K562" in svg  # organ + legend-only entries
+    # Regions are keyed by UBERON id and carry the value in the tooltip.
+    assert "UBERON_0002107" in svg and "Liver" in svg       # liver
+    assert "UBERON_0000473" in svg                          # testis (male view)
+    assert "UBERON_0000995" not in svg                      # uterus not in male
+    assert anatomagram_svg(values, view="female").count("UBERON_0000995") == 1
+    # Brain view draws brain regions.
+    brain = anatomagram_svg(values, view="brain")
+    assert "UBERON_0000956" in brain and "UBERON_0002037" in brain
+    # Both skin samplings share the fallback region; max aggregation + both
+    # contributors in the tooltip (reference hierarchy_fallbacks semantics).
+    regions, cell_lines = region_values(values)
+    assert regions["UBERON_0000014"][0] == 0.9
+    assert len(regions["UBERON_0000014"][1]) == 2
+    assert cell_lines == ["K562"]
+
     out = anatomagram_html({"APOE": values}, tmp_path / "a.html")
     content = open(out).read()
     assert "APOE" in content and "<svg" in content
+    assert "K562" in content            # cell lines render in the value table
+    assert "data-view='brain'" in content or 'data-view="brain"' in content
+    assert "tooltip" in content
+
+    # Every non-cell-line tissue in the released vocabulary must map to a
+    # drawable region in at least one view.
+    from variantformer_tpu.api import anatomagram as A
+
+    drawable = set(A._BODY_COMMON) | set(A._BODY_MALE) | set(A._BODY_FEMALE) | set(A._BRAIN)
+    for tissue, m in load_tissue_uberon_map().items():
+        if m.get("cell_line"):
+            continue
+        assert m["svg"] in drawable, f"{tissue} -> {m['svg']} has no region"
+
+
+def test_anatomagram_risk_adapter(tmp_path):
+    from variantformer_tpu.api.anatomagram import anatomagram_from_risk_df
+
+    df = pd.DataFrame(
+        {
+            "tissue_name": ["liver", "brain - cortex", "whole blood"],
+            "ad_risk": [0.7, 0.9, 0.2],
+        }
+    )
+    out = anatomagram_from_risk_df(df, tmp_path / "risk.html")
+    content = open(out).read()
+    assert "AD_RISK" in content and "UBERON_0000956" in content
 
 
 def test_launch_genome_wide_script(tmp_path):
