@@ -222,6 +222,7 @@ def seq2gene_forward(
         from variantformer_tpu.ops.fused_modulator import (
             fused_gene_modulator_packed,
             pack_gene_layers,
+            pick_tissue_block,
         )
 
         # Use load-time packed weights when the caller provides them
@@ -239,7 +240,7 @@ def seq2gene_forward(
                     gene_len[di], batch.cre_count[di],
                     packed, slopes, ffn, mod_spec.scale,
                     mod_spec.num_heads, mod_spec.head_dim,
-                    tissue_block=min(6, t),
+                    tissue_block=pick_tissue_block(t),
                 )
                 for di in range(d)
             ]

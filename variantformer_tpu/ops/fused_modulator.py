@@ -2,27 +2,34 @@
 
 The 25-layer gene stack is ~45% of the vcf2exp forward. Like the fused
 window encoder, its activations can persist in VMEM across layers while
-per-layer weights (and the layer's CRE intermediate) stream through:
+per-layer weights (and the layer's cross-attention K/V) stream through:
 
   * grid = (tissue-block, layer*3): the inner axis is sequential and steps
-    through three phases per layer — self-attention, cross-attention, FFN.
-    Each phase's matrix weights are packed into ONE slab operand indexed by
-    the grid step, so only ~one phase's weights (plus the pipelined next
-    slab) are resident in VMEM at a time. This is what makes the full-size
-    model fit: a whole layer's padded weights are ~60 MB, one phase's ~25 MB.
+    through three phases per layer. Each phase's matrix weights are packed
+    into ONE slab operand indexed by the grid step, so only ~one phase's
+    weights (plus the pipelined next slab) are resident in VMEM at a time.
+    This is what makes the full-size model fit in 128 MB of VMEM.
+  * phases are split at the attention boundaries so every slab is narrow
+    (4608 cols at the released geometry, 25% less weight DMA than packing
+    each attention's four matrices into one phase):
+      phase 0: LN1 + fused QKV projection + batched self-attention
+      phase 1: self out-proj (+residual) + LN2 + cross-Q + cross-attention
+      phase 2: cross out-proj (+residual) + LN3 + GeGLU FFN (+res_long)
+  * cross-attention K/V are NOT computed in the kernel: they depend only on
+    the layer's CRE intermediate (donor-shared across tissues), so the
+    wrapper projects them once per layer in XLA ([L, C, 2*H*D]) and the
+    kernel streams the layer's slice — round 1 recomputed them once per
+    tissue-block (T/TB x wasted FLOPs),
   * the gene stream [TB, G1, E] lives in VMEM scratch for the whole depth;
     a second scratch buffer carries the intra-layer stream between phases,
   * heads are sliced UNPADDED at head_dim-offsets (48-offset lane slicing
     of VMEM values is verified on this Mosaic — scripts/
-    mosaic_capability_probe.py; round 1's 64-lane padding cost 1.33x on
-    every projection), and out-projections are stored TRANSPOSED
+    mosaic_capability_probe.py), and out-projections are stored TRANSPOSED
     ([E, H*D]) so every slab shares the [E, cols] shape; the kernel
     contracts their second dims,
   * self-attention scores are a batched [TB, G1P, G1P] dot_general (batch
     dim = tissue: tissues never attend across blocks), so there is no
-    block-diagonal score waste and the masks are [G1P, G1P],
-  * cross-attention K/V are projected from the layer's CRE intermediate
-    once per layer into VMEM scratch and shared by all tissue rows.
+    block-diagonal score waste and the masks are [G1P, G1P].
 
 Semantics mirror models/seq2gene._gene_layer with only_cross_attention=False
 (the shipped configuration; reference seq2gene/modules/layers.py:88-165):
@@ -44,21 +51,32 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def pick_tissue_block(t: int) -> int:
+    """Smallest block >= 6 that tiles the tissue axis without padding waste.
+
+    Larger blocks would amortize the per-block weight re-stream further, but
+    the batched self-attention's per-head [TB, G1P, G1P] f32 score transients
+    scale with TB and 9 already exceeds VMEM at full geometry (measured:
+    TB=9 OOMs, TB=6 leaves ~30 MB headroom)."""
+    for b in (6, 7, 8, 9):
+        if t % b == 0:
+            return b
+    return min(t, 6)
+
+
 def _kernel(
     lens_ref,      # [2] int32 scalar prefetch: (gene_len, cre_len)
     slopes_ref,    # [H] f32 scalar prefetch: ALiBi slopes
     x_ref,         # [TB, G1P, E]
-    cre_ref,       # [1, CP, E] layer's CRE intermediate
+    ckv_ref,       # [1, CP, 2*H*D] layer's cross K|V (precomputed in XLA)
     slab_ref,      # [1, E, SLAB] phase-packed matrix weights
-    bias_ref,      # [1, 1, SLAB] phase-packed biases
+    bias_ref,      # [1, 1, BIAS] phase-packed biases
     norm_ref,      # [1, 1, 2E] phase's pre-LN scale|bias
     out_ref,       # [TB, G1P, E]
     x_state,       # [TB, G1P, E] bf16 scratch: layer input (res_long)
     h_state,       # [TB, G1P, E] bf16 scratch: intra-layer stream
     attn_scratch,  # [TB*G1P, H*D] bf16 scratch
-    qkv_scratch,   # [TB*G1P, 3*H*D] bf16 scratch: staged q|k|v projections
-    ck_scratch,    # [CP, H*D] bf16 scratch
-    cv_scratch,    # [CP, H*D] bf16 scratch
+    qkv_scratch,   # [TB*G1P, 3*H*D] bf16 scratch: staged projections
     *,
     num_layers: int,
     num_heads: int,
@@ -74,7 +92,7 @@ def _kernel(
     lane = head_dim
     hp = num_heads * lane
     rows = tissue_block * g1p
-    cp = cre_ref.shape[1]
+    cp = ckv_ref.shape[1]
     gene_len = lens_ref[0]
     cre_len = lens_ref[1]
 
@@ -100,37 +118,14 @@ def _kernel(
             a, wt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    def softmax_rows(s):
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        return p / jnp.sum(p, axis=-1, keepdims=True)
-
-    def headwise_attention(q_ref, k_ref, v_ref, bias_of_head):
-        # Slice each head straight from VMEM refs — holding whole-projection
-        # values live across the head unroll spills to scoped VMEM.
-        for h in range(num_heads):
-            c0 = h * lane
-            qh = q_ref[:, c0 : c0 + lane]
-            kh = k_ref[:, c0 : c0 + lane]
-            vh = v_ref[:, c0 : c0 + lane]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            s = s + bias_of_head(h)
-            p = softmax_rows(s)
-            o = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            attn_scratch[:, c0 : c0 + lane] = o.astype(jnp.bfloat16)
-
-    def proj(h_flat, col0, cols):
+    def proj(h_flat, col0, cols, bias_col0=None):
         w = slab_ref[0, :, col0 : col0 + cols]
-        b = bias_ref[0, :, col0 : col0 + cols].astype(jnp.bfloat16)
+        b0 = col0 if bias_col0 is None else bias_col0
+        b = bias_ref[0, :, b0 : b0 + cols].astype(jnp.bfloat16)
         return matmul(h_flat, w).astype(jnp.bfloat16) + b
 
     def out_proj(a_flat, col0, bias_col0):
+        # Transposed out-projection stored at slab col0; bias at bias_col0.
         wt = slab_ref[0, :, col0 : col0 + hp]
         b = bias_ref[0, :, bias_col0 : bias_col0 + e].astype(jnp.bfloat16)
         return (matmul_t(a_flat, wt).astype(jnp.bfloat16) + b).reshape(
@@ -141,11 +136,10 @@ def _kernel(
     def _self_attention():
         x = x_state[...]
         h1 = layer_norm(x).reshape(rows, e)
-        # Stage q|k|v in VMEM scratch: keeping them as SSA values across the
-        # 32-head unroll costs ~60 MB of register-allocator spill slots.
-        qkv_scratch[:, 0:hp] = proj(h1, 0, hp)
-        qkv_scratch[:, hp : 2 * hp] = proj(h1, hp, hp)
-        qkv_scratch[:, 2 * hp : 3 * hp] = proj(h1, 2 * hp, hp)
+        # One fused [rows, E] @ [E, 3*HP] projection, staged in VMEM scratch:
+        # keeping q/k/v as SSA values across the 32-head unroll costs ~60 MB
+        # of register-allocator spill slots.
+        qkv_scratch[...] = proj(h1, 0, 3 * hp)
         # Tissues never attend across blocks, so scores are computed as a
         # batched (batch dim = tissue) [TB, G1P, G1P] dot_general rather than
         # one [rows, rows] matmul with a block-diagonal mask — TBx fewer
@@ -179,45 +173,50 @@ def _kernel(
             attn_scratch[:, c0 : c0 + lane] = o.reshape(rows, lane).astype(
                 jnp.bfloat16
             )
-        sa = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
-        h_state[...] = sa + x
 
     @pl.when(phase == 1)
-    def _cross_attention():
-        h = h_state[...]
+    def _self_out_and_cross_attention():
+        sa = out_proj(attn_scratch[...], 0, 0)
+        h = sa + x_state[...]
+        h_state[...] = h
         h2n = layer_norm(h).reshape(rows, e)
-        qkv_scratch[:, 0:hp] = proj(h2n, 0, hp)
-        cre = cre_ref[0].astype(jnp.bfloat16)
-        ck_scratch[...] = (
-            matmul(cre, slab_ref[0, :, hp : 2 * hp]).astype(jnp.bfloat16)
-            + bias_ref[0, :, hp : 2 * hp].astype(jnp.bfloat16)
-        )
-        cv_scratch[...] = (
-            matmul(cre, slab_ref[0, :, 2 * hp : 3 * hp]).astype(jnp.bfloat16)
-            + bias_ref[0, :, 2 * hp : 3 * hp].astype(jnp.bfloat16)
-        )
+        # cross-Q at slab col HP; its bias at bias col E (after b_out).
+        qkv_scratch[:, 0:hp] = proj(h2n, hp, hp, bias_col0=e)
         jc = jax.lax.broadcasted_iota(jnp.int32, (rows, cp), 1)
-        cvalid = jc < cre_len
-
-        def cross_bias(h):
-            return jnp.where(cvalid, 0.0, MASK_VALUE)
-
-        headwise_attention(qkv_scratch, ck_scratch, cv_scratch, cross_bias)
-        ca = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
-        h_state[...] = ca + h
+        cbias = jnp.where(jc < cre_len, 0.0, MASK_VALUE)
+        for h in range(num_heads):
+            c0 = h * lane
+            qh = qkv_scratch[:, c0 : c0 + lane]
+            kh = ckv_ref[0, :, c0 : c0 + lane]
+            vh = ckv_ref[0, :, hp + c0 : hp + c0 + lane]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + cbias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            attn_scratch[:, c0 : c0 + lane] = o.astype(jnp.bfloat16)
 
     @pl.when(phase == 2)
-    def _ffn():
-        h2 = h_state[...]
+    def _cross_out_and_ffn():
+        ca = out_proj(attn_scratch[...], 0, 0)
+        h2 = ca + h_state[...]
         g = layer_norm(h2).reshape(rows, e)
-        f = proj(g, 0, ffn_dim)
+        # GeGLU in at slab col HP; its bias at bias col E (after b_co).
+        f = proj(g, hp, ffn_dim, bias_col0=e)
         half = ffn_dim // 2
         value, gate = f[:, :half], f[:, half:]
         f = value * jax.nn.gelu(
             gate.astype(jnp.float32), approximate=True
         ).astype(jnp.bfloat16)
-        wt = slab_ref[0, :, ffn_dim : ffn_dim + half]
-        b = bias_ref[0, :, ffn_dim : ffn_dim + e].astype(jnp.bfloat16)
+        wt = slab_ref[0, :, hp + ffn_dim : hp + ffn_dim + half]
+        b = bias_ref[0, :, e + ffn_dim : 2 * e + ffn_dim].astype(jnp.bfloat16)
         o = (matmul_t(f, wt).astype(jnp.bfloat16) + b).reshape(
             tissue_block, g1p, e
         )
@@ -237,16 +236,21 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
 
     Call ONCE at model-load time (e.g. VCFProcessor.set_params) and pass the
     result to ``fused_gene_modulator_packed`` — packing pads/transposes the
-    whole gene stack (~1.2 GB at full size), which must not run per forward.
+    whole gene stack (~1 GB at full size), which must not run per forward.
     """
     num_layers, e, _ = layers["mixer"]["wqkv"]["w"].shape
     hp = num_heads * head_dim
     ffn = layers["ffn_in"]["w"].shape[-1]
-    # Slab layout per phase (cols, all slabs share width SLAB):
-    #   phase 0 (self):  wq | wk | wv | wo^T          -> 4*HP
-    #   phase 1 (cross): cwq | cwk | cwv | cwo^T      -> 4*HP
-    #   phase 2 (ffn):   wf1 | wf2^T                  -> ffn + ffn//2
-    slab_cols = _roundup(max(4 * hp, ffn + ffn // 2), 128)
+    # Slab layout per phase (cols; all slabs share width SLAB). Bias offsets
+    # differ where an out-projection's bias (width E) precedes a projection:
+    #   phase 0 (self-attn):      wq | wk | wv              -> 3*HP
+    #     biases:                 bq | bk | bv at 0,HP,2HP
+    #   phase 1 (self-out+crossQ): wo^T | cq                -> 2*HP
+    #     biases:                 b_out(E) at 0 | b_cq at E
+    #   phase 2 (cross-out+ffn):  cwo^T | wf1 | wf2^T       -> HP+ffn+ffn//2
+    #     biases:          b_co(E) at 0 | b_f1 at E | b_f2(E) at E+ffn
+    slab_cols = _roundup(max(3 * hp, 2 * hp, hp + ffn + ffn // 2), 128)
+    bias_cols = _roundup(max(3 * hp, e + hp, 2 * e + ffn), 128)
 
     cast = lambda a: a.astype(jnp.bfloat16)
     # Head-major packed QKV (H, 3, D) -> per-slot [L, E, H*D], unpadded.
@@ -259,16 +263,20 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
         )
         for i in range(3)
     ]
-    # Cross K/V packed (H, 2, D); cross Q is a plain [E, H*D] projection.
+    # Cross K/V packed (H, 2, D): exposed for the wrapper's per-layer XLA
+    # precompute (NOT packed into a slab).
     cwkv = layers["cross"]["wkv"]["w"].reshape(num_layers, e, num_heads, 2, head_dim)
     cbkv = layers["cross"]["wkv"]["b"].reshape(num_layers, num_heads, 2, head_dim)
-    ckv = [
-        (
-            cwkv[:, :, :, i, :].reshape(num_layers, e, hp),
-            cbkv[:, :, i, :].reshape(num_layers, hp),
+    ckv_w = cast(
+        jnp.concatenate([cwkv[..., 0, :], cwkv[..., 1, :]], axis=-2).reshape(
+            num_layers, e, 2 * hp
         )
-        for i in range(2)
-    ]
+    )
+    ckv_b = cast(
+        jnp.concatenate([cbkv[:, :, 0, :], cbkv[:, :, 1, :]], axis=-2).reshape(
+            num_layers, 2 * hp
+        )
+    )
     cq = (layers["cross"]["wq"]["w"], layers["cross"]["wq"]["b"])
     wo_t = layers["mixer"]["out"]["w"].transpose(0, 2, 1)   # [L, E, H*D]
     cwo_t = layers["cross"]["out"]["w"].transpose(0, 2, 1)  # [L, E, H*D]
@@ -283,31 +291,29 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
         return s
 
     def bias_phase(vecs_at):  # [(vec [L, X], col0), ...]
-        b = jnp.zeros((num_layers, 1, slab_cols), jnp.bfloat16)
+        b = jnp.zeros((num_layers, 1, bias_cols), jnp.bfloat16)
         for v, col in vecs_at:
             b = b.at[:, 0, col : col + v.shape[-1]].set(cast(v))
         return b
 
     slab = jnp.stack(
         [
-            slab_phase([qkv[0][0], qkv[1][0], qkv[2][0], wo_t]),
-            slab_phase([cq[0], ckv[0][0], ckv[1][0], cwo_t]),
-            slab_phase([layers["ffn_in"]["w"], wf2_t]),
+            slab_phase([qkv[0][0], qkv[1][0], qkv[2][0]]),
+            slab_phase([wo_t, cq[0]]),
+            slab_phase([cwo_t, layers["ffn_in"]["w"], wf2_t]),
         ],
         axis=1,
     ).reshape(num_layers * 3, e, slab_cols)
-    hp_ = hp
     biases = jnp.stack(
         [
-            bias_phase([(qkv[0][1], 0), (qkv[1][1], hp_), (qkv[2][1], 2 * hp_),
-                        (layers["mixer"]["out"]["b"], 3 * hp_)]),
-            bias_phase([(cq[1], 0), (ckv[0][1], hp_), (ckv[1][1], 2 * hp_),
-                        (layers["cross"]["out"]["b"], 3 * hp_)]),
-            bias_phase([(layers["ffn_in"]["b"], 0),
-                        (layers["ffn_out"]["b"], ffn)]),
+            bias_phase([(qkv[0][1], 0), (qkv[1][1], hp), (qkv[2][1], 2 * hp)]),
+            bias_phase([(layers["mixer"]["out"]["b"], 0), (cq[1], e)]),
+            bias_phase([(layers["cross"]["out"]["b"], 0),
+                        (layers["ffn_in"]["b"], e),
+                        (layers["ffn_out"]["b"], e + ffn)]),
         ],
         axis=1,
-    ).reshape(num_layers * 3, 1, slab_cols)
+    ).reshape(num_layers * 3, 1, bias_cols)
     norms = jnp.stack(
         [
             jnp.concatenate(
@@ -317,7 +323,10 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
         ],
         axis=1,
     ).reshape(num_layers * 3, 1, 2 * e)
-    return {"slab": slab, "biases": biases, "norms": norms}
+    return {
+        "slab": slab, "biases": biases, "norms": norms,
+        "ckv_w": ckv_w, "ckv_b": ckv_b,
+    }
 
 
 @functools.partial(
@@ -342,6 +351,7 @@ def fused_gene_modulator_packed(
     hp = num_heads * head_dim
     slab, biases, norms = packed["slab"], packed["biases"], packed["norms"]
     slab_cols = slab.shape[-1]
+    bias_cols = biases.shape[-1]
     assert slab.shape[0] == num_layers * 3
 
     g1p = _roundup(g1, 16)
@@ -349,8 +359,17 @@ def fused_gene_modulator_packed(
     cp = _roundup(c, 128)
     x = jnp.zeros((tp, g1p, e), jnp.bfloat16)
     x = x.at[:t, :g1].set(gene_stream.astype(jnp.bfloat16))
-    cre = jnp.zeros((num_layers, cp, e), jnp.bfloat16)
-    cre = cre.at[:, :c].set(cre_intermediates.astype(jnp.bfloat16))
+    # Per-layer cross K/V from the donor-shared CRE intermediates, computed
+    # once in XLA (0.12 TF at full size) instead of once per tissue block in
+    # the kernel (round 1 cost ~1.1 TF ≈ 11 ms).
+    ckv = jnp.einsum(
+        "lce,lef->lcf",
+        cre_intermediates.astype(jnp.bfloat16),
+        packed["ckv_w"],
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16) + packed["ckv_b"][:, None, :]
+    ckv_p = jnp.zeros((num_layers, cp, 2 * hp), jnp.bfloat16)
+    ckv_p = ckv_p.at[:, :c].set(ckv)
 
     kernel = functools.partial(
         _kernel,
@@ -372,9 +391,9 @@ def fused_gene_modulator_packed(
             grid=(tp // tissue_block, num_layers * 3),
             in_specs=[
                 pl.BlockSpec((tissue_block, g1p, e), lambda tb, s, *_: (tb, 0, 0)),
-                pl.BlockSpec((1, cp, e), lambda tb, s, *_: (s // 3, 0, 0)),
+                pl.BlockSpec((1, cp, 2 * hp), lambda tb, s, *_: (s // 3, 0, 0)),
                 pl.BlockSpec((1, e, slab_cols), lambda tb, s, *_: (s, 0, 0)),
-                pl.BlockSpec((1, 1, slab_cols), lambda tb, s, *_: (s, 0, 0)),
+                pl.BlockSpec((1, 1, bias_cols), lambda tb, s, *_: (s, 0, 0)),
                 pl.BlockSpec((1, 1, 2 * e), lambda tb, s, *_: (s, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
@@ -385,8 +404,6 @@ def fused_gene_modulator_packed(
                 pltpu.VMEM((tissue_block, g1p, e), jnp.bfloat16),
                 pltpu.VMEM((tissue_block * g1p, hp), jnp.bfloat16),
                 pltpu.VMEM((tissue_block * g1p, 3 * hp), jnp.bfloat16),
-                pltpu.VMEM((cp, hp), jnp.bfloat16),
-                pltpu.VMEM((cp, hp), jnp.bfloat16),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((tp, g1p, e), jnp.bfloat16),
@@ -395,7 +412,7 @@ def fused_gene_modulator_packed(
             vmem_limit_bytes=127 * 2**20,
         ),
         interpret=(jax.default_backend() == "cpu"),
-    )(lens, slopes.astype(jnp.float32), x, cre, slab, biases, norms)
+    )(lens, slopes.astype(jnp.float32), x, ckv_p, slab, biases, norms)
     return out[:t, :g1]
 
 
