@@ -1,0 +1,159 @@
+"""Realistic-geometry end-to-end test: a 300 kb gene window with hundreds of
+CREs through build -> pack -> forward (VERDICT round-1 gap #3).
+
+Every other API test runs a 3 kb toy genome; this one exercises the
+production window arithmetic at the reference's contract scale
+(/root/reference/datasets/vcfdataset.py:285-303,338-394): 1 kb upstream +
+300 kb downstream of the TSS, ~350 scattered CREs with +-50 bp
+neighbourhoods, a donor VCF with hundreds of variants, the released
+500-token BPE vocabulary, and the max_chunks=200 gene-axis cap — with tiny
+model widths so it runs on CPU in CI.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from variantformer_tpu.api.vcfprocessor import DataSources, VCFProcessor
+from variantformer_tpu.config import (
+    ModelConfig,
+    Seq2GeneConfig,
+    WindowEncoderConfig,
+)
+from variantformer_tpu.models.init import init_seq2gene
+from variantformer_tpu.utils.assets import resolve_vocab_path
+from variantformer_tpu.utils.bgzf import write_bgzf
+
+CHR_LEN = 420_000
+GENE_START = 110_000     # + strand TSS; window = [109k, 409k) = 300 kb
+GENE_END = 415_000   # window caps at min(gene_end, TSS+300k): 300 kb
+N_CRES = 350
+N_VARIANTS = 300
+
+
+@pytest.fixture(scope="module")
+def realistic_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("realistic")
+    rng = np.random.default_rng(7)
+    seq = rng.choice(list("ACGT"), CHR_LEN)
+    fasta = root / "genome.fa"
+    with open(fasta, "w") as fh:
+        fh.write(">chr1 realistic\n")
+        s = "".join(seq)
+        for i in range(0, CHR_LEN, 80):
+            fh.write(s[i : i + 80] + "\n")
+
+    gencode = root / "gencode.csv"
+    pd.DataFrame(
+        [{"gene_id": "BIGGENE.1", "gene_name": "BIGGENE", "chromosome": "chr1",
+          "start": GENE_START, "end": GENE_END, "strand": "+"}]
+    ).to_csv(gencode, index=False)
+
+    # ~350 CREs scattered through the 301 kb window, 120-280 bp each.
+    starts = np.sort(
+        rng.choice(np.arange(GENE_START - 900, GENE_START + 295_000, 50),
+                   size=N_CRES, replace=False)
+    )
+    classes = [
+        "PLS", "pELS", "dELS", "PLS,CTCF-bound", "dELS,CTCF-bound",
+        "pELS,CTCF-bound", "DNase-H3K4me3", "CTCF-only,CTCF-bound",
+    ]
+    cre_map = pd.DataFrame(
+        {
+            "chromosome": "chr1",
+            "start_cre": starts,
+            "end_cre": starts + rng.integers(120, 280, size=N_CRES),
+            "cre_name": rng.choice(classes, size=N_CRES),
+        }
+    )
+
+    # A few hundred variants in the window: SNPs (het + hom) and small indels.
+    flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    positions = np.sort(
+        rng.choice(np.arange(GENE_START - 800, GENE_START + 294_000),
+                   size=N_VARIANTS, replace=False)
+    )
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ]
+    for i, pos in enumerate(positions):
+        ref = s[pos - 1]
+        kind = i % 10
+        if kind < 7:            # SNP
+            alt = flip[ref]
+        elif kind < 9:          # short insertion
+            alt = ref + "".join(rng.choice(list("ACGT"), 2))
+        else:                   # short deletion
+            ref = s[pos - 1 : pos + 2]
+            alt = ref[0]
+        gt = "0|1" if i % 3 else "1|1"
+        lines.append(f"chr1\t{pos}\t.\t{ref}\t{alt}\t.\tPASS\t.\tGT\t{gt}")
+    vcf = root / "donor.vcf.gz"
+    write_bgzf(str(vcf), ("\n".join(lines) + "\n").encode())
+
+    tissue_vocab = root / "tissues.yaml"
+    tissue_vocab.write_text("".join(f"tissue{i}: {i}\n" for i in range(8)))
+    sources = DataSources(
+        fasta_path=str(fasta),
+        gencode_path=str(gencode),
+        bpe_vocab_path=resolve_vocab_path("bpe_vocabulary_500.json"),
+        tissue_vocab_path=str(tissue_vocab),
+        cre_map_provider=lambda g: cre_map,
+    )
+    return {"sources": sources, "vcf": str(vcf)}
+
+
+def _small_model_real_geometry() -> ModelConfig:
+    """Tiny widths, REAL dataset geometry (default DatasetConfig: 200x200
+    windows, +-50 bp CRE neighbourhood, 1 kb/300 kb gene window)."""
+    return ModelConfig(
+        window_encoder=WindowEncoderConfig(
+            vocab_size=500, embedding_dim=32, num_heads=2, num_layers=2,
+            ffn_hidden_dim=64, token_length=200,
+        ),
+        seq2gene=Seq2GeneConfig(
+            emb_dim=48, gene_emb_dim=32, token_dim=32, num_heads=4,
+            num_layers=2, ffn_hidden_dim=96,
+        ),
+    )
+
+
+@pytest.mark.slow
+def test_300kb_window_build_pack_forward(realistic_env):
+    cfg = _small_model_real_geometry()
+    proc = VCFProcessor(sources=realistic_env["sources"], config=cfg)
+    proc.set_params(init_seq2gene(jax.random.key(0), cfg))
+
+    # Inspect the packed batch: the 300 kb window must hit the max_chunks
+    # gene-axis cap and carry hundreds of CRE windows at 200-token length.
+    from variantformer_tpu.data.pipeline import pack_samples
+
+    query = pd.DataFrame({"gene_id": ["BIGGENE.1"], "tissues": ["tissue0,tissue3"]})
+    _, loader = proc.create_data(realistic_env["vcf"], query)
+    samples = [sample for _, sample in loader]
+    assert len(samples) == 1
+    batch = pack_samples(samples, [0, 3], gene_cap=cfg.dataset.max_chunks)
+    d, c, l = batch.cre_tokens.shape
+    g = batch.gene_tokens.shape[1]
+    assert l == 200
+    assert int(batch.cre_count[0]) == N_CRES and c >= N_CRES
+    # 300 kb at ~3.6 bp/BPE-token is >=350 windows of 200 tokens -> cap.
+    assert int(batch.gene_count[0]) == cfg.dataset.max_chunks == g == 200
+    # CRE windows must actually fill their 200-token budget with real tokens
+    # (a 220 bp CRE + 100 bp neighbourhood is ~60-90 BPE tokens).
+    assert 40 <= int(np.median(np.asarray(batch.cre_tok_len[0, :N_CRES]))) <= 200
+    assert int(batch.gene_tok_len[0].min()) > 0
+
+    out = proc.predict(realistic_env["vcf"], query)
+    assert len(out) == 1
+    vals = np.asarray(out.iloc[0]["predicted_expression"], np.float64)
+    assert vals.shape == (2,) and np.all(np.isfinite(vals)) and np.all(vals >= 0)
+
+    # Variant sensitivity at scale: the donor VCF (300 variants, het+hom,
+    # SNPs+indels) must change the prediction vs the reference genome.
+    ref_out = proc.predict(None, query)
+    ref_vals = np.asarray(ref_out.iloc[0]["predicted_expression"], np.float64)
+    assert not np.allclose(vals, ref_vals)
