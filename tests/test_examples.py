@@ -5,7 +5,8 @@ from pathlib import Path
 
 import pytest
 
-EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+REPO = Path(__file__).resolve().parent.parent
+EXAMPLES = REPO / "examples"
 
 
 @pytest.fixture(autouse=True)
@@ -74,3 +75,43 @@ def test_variant2risk_example():
     out = variant2risk.main()
     assert {"risk_no_edit", "risk_hom_edit", "delta"} <= set(out.columns)
     assert len(out) >= 1
+
+
+def test_vcf2exp_notebook_executes(tmp_path):
+    """The notebook layer is real: notebooks/vcf2exp.ipynb runs end to end
+    under nbclient (synthetic mode) including the inline anatomagram."""
+    import nbformat
+    from nbclient import NotebookClient
+
+    nb_path = REPO / "notebooks" / "vcf2exp.ipynb"
+    nb = nbformat.read(nb_path, as_version=4)
+    client = NotebookClient(
+        nb, timeout=600, kernel_name="python3",
+        resources={"metadata": {"path": str(REPO / "notebooks")}},
+    )
+    client.execute()
+    outputs = [
+        o for cell in nb.cells if cell.cell_type == "code"
+        for o in cell.get("outputs", [])
+    ]
+    assert outputs, "no cell outputs produced"
+    assert not any(o.get("output_type") == "error" for o in outputs)
+    html_blobs = [
+        o for o in outputs
+        if o.get("output_type") in ("display_data", "execute_result")
+        and "text/html" in o.get("data", {})
+    ]
+    assert any("anatomagram" in "".join(o["data"]["text/html"]) or "svg" in
+               "".join(o["data"]["text/html"]) for o in html_blobs)
+
+
+def test_all_notebooks_valid():
+    import nbformat
+
+    names = ["vcf2exp", "vcf2risk", "eqtl_analysis", "variant2exp",
+             "snp_indel_predictions", "variant2risk"]
+    for name in names:
+        nb = nbformat.read(REPO / "notebooks" / f"{name}.ipynb", as_version=4)
+        nbformat.validate(nb)
+        kinds = {c.cell_type for c in nb.cells}
+        assert {"markdown", "code"} <= kinds, name
