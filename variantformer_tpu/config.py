@@ -69,6 +69,14 @@ class Seq2GeneConfig:
     head_type: str = "mlp"
     loss_fn: str = "poisson"
     mlp_dout: float = 0.1
+    # Reference checkpoint-config compatibility only. The reference's
+    # MAX_WINDOW_SIZE guard (model_combined_modulator.py:32-33,746-758) drops
+    # a training batch to its single largest donor when the summed dynamic
+    # token count exceeds this, bounding CUDA memory. Deliberately NOT
+    # enforced here: device shapes are static buckets (gene axis capped at
+    # dataset.max_chunks, CRE axis bucketed in pack_samples), so the
+    # pathological dynamic-memory case cannot arise — memory is bounded by
+    # construction, per batch, independent of window bp length.
     max_window_size: int = 30_000_000
     max_chunk_size: int = 1024          # window-encoder micro-batch bound
 
