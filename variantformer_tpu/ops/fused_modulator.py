@@ -4,17 +4,16 @@ The 25-layer gene stack is ~45% of the vcf2exp forward. Like the fused
 window encoder, its activations can persist in VMEM across layers while
 per-layer weights (and the layer's cross-attention K/V) stream through:
 
-  * grid = (tissue-block, layer*3): the inner axis is sequential and steps
-    through three phases per layer. Each phase's matrix weights are packed
+  * grid = (tissue-block, layer*2): the inner axis is sequential and steps
+    through two phases per layer. Each phase's matrix weights are packed
     into ONE slab operand indexed by the grid step, so only ~one phase's
     weights (plus the pipelined next slab) are resident in VMEM at a time.
     This is what makes the full-size model fit in 128 MB of VMEM.
-  * phases are split at the attention boundaries so every slab is narrow
-    (4608 cols at the released geometry, 25% less weight DMA than packing
-    each attention's four matrices into one phase):
-      phase 0: LN1 + fused QKV projection + batched self-attention
-      phase 1: self out-proj (+residual) + LN2 + cross-Q + cross-attention
-      phase 2: cross out-proj (+residual) + LN3 + GeGLU FFN (+res_long)
+      phase 0: LN1 + fused QKV proj + batched self-attention + self out-proj
+               (+residual) + LN2 + cross-Q + cross-attention
+      phase 1: cross out-proj (+residual) + LN3 + GeGLU FFN (+res_long)
+    (An earlier 3-phase split with narrower slabs timed the same on-chip —
+    grid-step count, not weight DMA, is the marginal cost at this size.)
   * cross-attention K/V are NOT computed in the kernel: they depend only on
     the layer's CRE intermediate (donor-shared across tissues), so the
     wrapper projects them once per layer in XLA ([L, C, 2*H*D]) and the
@@ -71,7 +70,7 @@ def _kernel(
     ckv_ref,       # [1, CP, 2*H*D] layer's cross K|V (precomputed in XLA)
     slab_ref,      # [1, E, SLAB] phase-packed matrix weights
     bias_ref,      # [1, 1, BIAS] phase-packed biases
-    norm_ref,      # [1, 1, 2E] phase's pre-LN scale|bias
+    norm_ref,      # [1, 1, 4E] phase's pre-LN scale|bias pairs (2 norms max)
     out_ref,       # [TB, G1P, E]
     x_state,       # [TB, G1P, E] bf16 scratch: layer input (res_long)
     h_state,       # [TB, G1P, E] bf16 scratch: intra-layer stream
@@ -87,7 +86,7 @@ def _kernel(
     ffn_dim: int,
 ):
     step = pl.program_id(1)
-    phase = step % 3
+    phase = step % 2
     e = x_ref.shape[-1]
     lane = head_dim
     hp = num_heads * lane
@@ -100,9 +99,11 @@ def _kernel(
     def _load():
         x_state[...] = x_ref[...].astype(jnp.bfloat16)
 
-    def layer_norm(x):
-        s = norm_ref[0, 0, :e].astype(jnp.float32)
-        b = norm_ref[0, 0, e:].astype(jnp.float32)
+    def layer_norm(x, which):
+        s = norm_ref[0, 0, 2 * e * which : 2 * e * which + e].astype(jnp.float32)
+        b = norm_ref[0, 0, 2 * e * which + e : 2 * e * which + 2 * e].astype(
+            jnp.float32
+        )
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -133,9 +134,9 @@ def _kernel(
         )
 
     @pl.when(phase == 0)
-    def _self_attention():
+    def _attention():
         x = x_state[...]
-        h1 = layer_norm(x).reshape(rows, e)
+        h1 = layer_norm(x, 0).reshape(rows, e)
         # One fused [rows, E] @ [E, 3*HP] projection, staged in VMEM scratch:
         # keeping q/k/v as SSA values across the 32-head unroll costs ~60 MB
         # of register-allocator spill slots.
@@ -173,15 +174,12 @@ def _kernel(
             attn_scratch[:, c0 : c0 + lane] = o.reshape(rows, lane).astype(
                 jnp.bfloat16
             )
-
-    @pl.when(phase == 1)
-    def _self_out_and_cross_attention():
-        sa = out_proj(attn_scratch[...], 0, 0)
+        sa = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
         h = sa + x_state[...]
         h_state[...] = h
-        h2n = layer_norm(h).reshape(rows, e)
-        # cross-Q at slab col HP; its bias at bias col E (after b_out).
-        qkv_scratch[:, 0:hp] = proj(h2n, hp, hp, bias_col0=e)
+        # cross-Q at slab col 4*HP; its bias after b_out, at 3*HP + E.
+        h2n = layer_norm(h, 1).reshape(rows, e)
+        qkv_scratch[:, 0:hp] = proj(h2n, 4 * hp, hp, bias_col0=3 * hp + e)
         jc = jax.lax.broadcasted_iota(jnp.int32, (rows, cp), 1)
         cbias = jnp.where(jc < cre_len, 0.0, MASK_VALUE)
         for h in range(num_heads):
@@ -203,11 +201,11 @@ def _kernel(
             )
             attn_scratch[:, c0 : c0 + lane] = o.astype(jnp.bfloat16)
 
-    @pl.when(phase == 2)
+    @pl.when(phase == 1)
     def _cross_out_and_ffn():
         ca = out_proj(attn_scratch[...], 0, 0)
         h2 = ca + h_state[...]
-        g = layer_norm(h2).reshape(rows, e)
+        g = layer_norm(h2, 0).reshape(rows, e)
         # GeGLU in at slab col HP; its bias at bias col E (after b_co).
         f = proj(g, hp, ffn_dim, bias_col0=e)
         half = ffn_dim // 2
@@ -222,7 +220,7 @@ def _kernel(
         )
         x_state[...] = o + x_state[...]
 
-    @pl.when(step == 3 * num_layers - 1)
+    @pl.when(step == 2 * num_layers - 1)
     def _store():
         out_ref[...] = x_state[...]
 
@@ -242,15 +240,14 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
     hp = num_heads * head_dim
     ffn = layers["ffn_in"]["w"].shape[-1]
     # Slab layout per phase (cols; all slabs share width SLAB). Bias offsets
-    # differ where an out-projection's bias (width E) precedes a projection:
-    #   phase 0 (self-attn):      wq | wk | wv              -> 3*HP
-    #     biases:                 bq | bk | bv at 0,HP,2HP
-    #   phase 1 (self-out+crossQ): wo^T | cq                -> 2*HP
-    #     biases:                 b_out(E) at 0 | b_cq at E
-    #   phase 2 (cross-out+ffn):  cwo^T | wf1 | wf2^T       -> HP+ffn+ffn//2
-    #     biases:          b_co(E) at 0 | b_f1 at E | b_f2(E) at E+ffn
-    slab_cols = _roundup(max(3 * hp, 2 * hp, hp + ffn + ffn // 2), 128)
-    bias_cols = _roundup(max(3 * hp, e + hp, 2 * e + ffn), 128)
+    # differ where an out-projection's bias (width E) sits between wider
+    # projections:
+    #   phase 0 (attention): wq | wk | wv | wo^T | cq        -> 5*HP
+    #     biases: bq|bk|bv at 0,HP,2HP | b_out(E) at 3HP | b_cq at 3HP+E
+    #   phase 1 (cross-out + ffn): cwo^T | wf1 | wf2^T       -> HP+ffn+ffn//2
+    #     biases: b_co(E) at 0 | b_f1 at E | b_f2(E) at E+ffn
+    slab_cols = _roundup(max(5 * hp, hp + ffn + ffn // 2), 128)
+    bias_cols = _roundup(max(3 * hp + e + hp, 2 * e + ffn), 128)
 
     cast = lambda a: a.astype(jnp.bfloat16)
     # Head-major packed QKV (H, 3, D) -> per-slot [L, E, H*D], unpadded.
@@ -298,31 +295,38 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
 
     slab = jnp.stack(
         [
-            slab_phase([qkv[0][0], qkv[1][0], qkv[2][0]]),
-            slab_phase([wo_t, cq[0]]),
+            slab_phase([qkv[0][0], qkv[1][0], qkv[2][0], wo_t, cq[0]]),
             slab_phase([cwo_t, layers["ffn_in"]["w"], wf2_t]),
         ],
         axis=1,
-    ).reshape(num_layers * 3, e, slab_cols)
+    ).reshape(num_layers * 2, e, slab_cols)
     biases = jnp.stack(
         [
-            bias_phase([(qkv[0][1], 0), (qkv[1][1], hp), (qkv[2][1], 2 * hp)]),
-            bias_phase([(layers["mixer"]["out"]["b"], 0), (cq[1], e)]),
+            bias_phase([(qkv[0][1], 0), (qkv[1][1], hp), (qkv[2][1], 2 * hp),
+                        (layers["mixer"]["out"]["b"], 3 * hp),
+                        (cq[1], 3 * hp + e)]),
             bias_phase([(layers["cross"]["out"]["b"], 0),
                         (layers["ffn_in"]["b"], e),
                         (layers["ffn_out"]["b"], e + ffn)]),
         ],
         axis=1,
-    ).reshape(num_layers * 3, 1, bias_cols)
+    ).reshape(num_layers * 2, 1, bias_cols)
+    # Phase 0 applies LN1 (pre-self-attn) then LN2 (pre-cross); phase 1
+    # applies LN3 (pre-FFN). Each norm row packs scale|bias|scale|bias.
+    ln = {
+        n: jnp.concatenate(
+            [layers[n]["scale"], layers[n]["bias"]], axis=-1
+        ).astype(jnp.float32)
+        for n in ("norm1", "norm2", "norm3")
+    }
+    zeros = jnp.zeros_like(ln["norm3"])
     norms = jnp.stack(
         [
-            jnp.concatenate(
-                [layers[n]["scale"], layers[n]["bias"]], axis=-1
-            ).astype(jnp.float32)
-            for n in ("norm1", "norm2", "norm3")
+            jnp.concatenate([ln["norm1"], ln["norm2"]], axis=-1),
+            jnp.concatenate([ln["norm3"], zeros], axis=-1),
         ],
         axis=1,
-    ).reshape(num_layers * 3, 1, 2 * e)
+    ).reshape(num_layers * 2, 1, 4 * e)
     return {
         "slab": slab, "biases": biases, "norms": norms,
         "ckv_w": ckv_w, "ckv_b": ckv_b,
@@ -352,7 +356,7 @@ def fused_gene_modulator_packed(
     slab, biases, norms = packed["slab"], packed["biases"], packed["norms"]
     slab_cols = slab.shape[-1]
     bias_cols = biases.shape[-1]
-    assert slab.shape[0] == num_layers * 3
+    assert slab.shape[0] == num_layers * 2
 
     g1p = _roundup(g1, 16)
     tp = _roundup(t, tissue_block)
@@ -388,13 +392,13 @@ def fused_gene_modulator_packed(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(tp // tissue_block, num_layers * 3),
+            grid=(tp // tissue_block, num_layers * 2),
             in_specs=[
                 pl.BlockSpec((tissue_block, g1p, e), lambda tb, s, *_: (tb, 0, 0)),
-                pl.BlockSpec((1, cp, 2 * hp), lambda tb, s, *_: (s // 3, 0, 0)),
+                pl.BlockSpec((1, cp, 2 * hp), lambda tb, s, *_: (s // 2, 0, 0)),
                 pl.BlockSpec((1, e, slab_cols), lambda tb, s, *_: (s, 0, 0)),
                 pl.BlockSpec((1, 1, bias_cols), lambda tb, s, *_: (s, 0, 0)),
-                pl.BlockSpec((1, 1, 2 * e), lambda tb, s, *_: (s, 0, 0)),
+                pl.BlockSpec((1, 1, 4 * e), lambda tb, s, *_: (s, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (tissue_block, g1p, e), lambda tb, s, *_: (tb, 0, 0)
