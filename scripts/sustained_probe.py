@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Sustained host+device throughput probe: genome-wide sweep at full scale.
+
+The headline bench (bench.py) times the device forward alone; this probe
+measures the honest end-to-end rate — host sample building (consensus +
+BPE + packing, ThreadPoolExecutor workers) overlapped with device compute
+via api/sweeps.genome_wide_expression — on a full-production-scale
+synthetic workload: N genes, each with a 300 kb window (the max_chunks=200
+cap), ~350 CREs, and a donor VCF, through the full-size model at 54
+tissues. Shapes match bench.py's buckets (d=1, c=384, g=200), so the
+compilation cache is shared.
+
+    python scripts/sustained_probe.py [--genes 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+def build_env(root, n_genes: int, rng):
+    """4 Mb-per-gene synthetic genome with production-scale gene windows."""
+    from variantformer_tpu.api.vcfprocessor import DataSources
+    from variantformer_tpu.utils.assets import resolve_vocab_path
+    from variantformer_tpu.utils.bgzf import write_bgzf
+
+    os.makedirs(root, exist_ok=True)
+    span = 340_000
+    chr_len = n_genes * span + 20_000
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), chr_len)
+    s = seq.tobytes().decode()
+    fasta = os.path.join(root, "genome.fa")
+    with open(fasta, "w") as fh:
+        fh.write(">chr1 sustained\n")
+        for i in range(0, chr_len, 10_000):
+            fh.write(s[i : i + 10_000] + "\n")
+
+    genes, cre_maps = [], {}
+    classes = ["PLS", "pELS", "dELS", "PLS,CTCF-bound", "dELS,CTCF-bound"]
+    vcf_lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ]
+    flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    for gi in range(n_genes):
+        start = gi * span + 10_000
+        gene_id = f"GENE{gi:03d}.1"
+        genes.append(
+            {"gene_id": gene_id, "gene_name": f"G{gi}", "chromosome": "chr1",
+             "start": start, "end": start + 310_000, "strand": "+" if gi % 2 else "-"}
+        )
+        cre_starts = np.sort(
+            rng.choice(np.arange(start - 900, start + 295_000, 60), 350, replace=False)
+        )
+        cre_maps[gene_id] = pd.DataFrame(
+            {"chromosome": "chr1", "start_cre": cre_starts,
+             "end_cre": cre_starts + rng.integers(120, 280, 350),
+             "cre_name": rng.choice(classes, 350)}
+        )
+        for pos in np.sort(rng.choice(np.arange(start, start + 290_000), 150, replace=False)):
+            ref = s[pos - 1]
+            vcf_lines.append(
+                f"chr1\t{pos}\t.\t{ref}\t{flip[ref]}\t.\tPASS\t.\tGT\t"
+                f"{'0|1' if pos % 3 else '1|1'}"
+            )
+    pd.DataFrame(genes).to_csv(os.path.join(root, "gencode.csv"), index=False)
+    vcf = os.path.join(root, "donor.vcf.gz")
+    write_bgzf(vcf, ("\n".join(vcf_lines) + "\n").encode())
+    tissue_vocab = os.path.join(root, "tissues.yaml")
+    with open(tissue_vocab, "w") as fh:
+        fh.write("".join(f"tissue{i}: {i}\n" for i in range(63)))
+    sources = DataSources(
+        fasta_path=fasta,
+        gencode_path=os.path.join(root, "gencode.csv"),
+        bpe_vocab_path=resolve_vocab_path("bpe_vocabulary_500.json"),
+        tissue_vocab_path=tissue_vocab,
+        cre_map_provider=lambda g: cre_maps[g],
+    )
+    return sources, vcf
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--genes", type=int, default=12)
+    ap.add_argument("--tissues", type=int, default=54)
+    ap.add_argument("--batch-size", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+
+    from variantformer_tpu.api.sweeps import genome_wide_expression
+    from variantformer_tpu.api.vcfprocessor import VCFProcessor
+    from variantformer_tpu.config import ModelConfig
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.utils.jax_setup import enable_cache
+
+    enable_cache()
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    sources, vcf = build_env("/tmp/vfx_sustained", args.genes, rng)
+    print(f"env built in {time.time() - t0:.1f}s", flush=True)
+
+    cfg = ModelConfig()
+    proc = VCFProcessor(sources=sources, config=cfg)
+    params = jax.jit(lambda k: init_seq2gene(k, cfg, dtype=jax.numpy.bfloat16))(
+        jax.random.key(0)
+    )
+    proc.set_params(params)
+    tissues = [f"tissue{i}" for i in range(args.tissues)]
+
+    # Warm the device compile outside the measured window (one gene).
+    t0 = time.time()
+    genome_wide_expression(
+        proc, vcf, tissues, genes=["GENE000.1"], batch_size=args.batch_size
+    )
+    print(f"warm-up (compile) in {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    df = genome_wide_expression(
+        proc, vcf, tissues, batch_size=args.batch_size
+    )
+    dt = time.time() - t0
+    n = df["gene_id"].nunique()
+    print(
+        f"sustained: {n} genes x {args.tissues} tissues in {dt:.1f}s "
+        f"= {n / dt:.2f} genes/s (host+device integrated)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--impl", default="fused")
+    ap.add_argument("--impl", default="fused2")
     ap.add_argument("--cre-buckets", default="256,384,512")
     ap.add_argument("--gene-buckets", default="200")
     ap.add_argument("--tissues", default="54")
@@ -41,7 +41,20 @@ def main():
     from variantformer_tpu.models.seq2gene import seq2gene_forward
 
     cfg = ModelConfig()
-    params = init_seq2gene(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    params = jax.jit(lambda k: init_seq2gene(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    if args.impl == "fused2":
+        # Mirror bench.py / VCFProcessor.set_params exactly: the packed-
+        # operand forward is a different HLO than inline packing, and only
+        # the packed one is the production/bench cache entry.
+        from variantformer_tpu.ops.fused_modulator import pack_gene_layers
+
+        params = dict(params)
+        params["gene_layers_packed"] = pack_gene_layers(
+            params["gene_layers"], cfg.seq2gene.num_heads,
+            cfg.seq2gene.emb_dim // cfg.seq2gene.num_heads,
+        )
     fn = jax.jit(
         lambda p, b: seq2gene_forward(p, b, cfg, impl=args.impl).pred_expression
     )
