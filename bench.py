@@ -32,12 +32,16 @@ def main():
     from variantformer_tpu.models.seq2gene import seq2gene_forward
 
     impl = os.environ.get("VFX_BENCH_IMPL", "fused2")
+    # Donors per dispatch: genes/s = d / time. Fixed per-call overhead (~40 ms
+    # of axon-relay dispatch latency) amortizes across the d genes; measured
+    # d=1: 5.63, d=2: 6.29, d=4: 6.73, d=8: 6.74 genes/s — flat past 4.
+    d = int(os.environ.get("VFX_BENCH_D", "4"))
     cfg = ModelConfig()
     params = jax.jit(lambda k: init_seq2gene(k, cfg, dtype=jnp.bfloat16))(
         jax.random.key(0)
     )  # one fused init call (per-leaf init pays relay latency per leaf)
     batch = _example_batch(
-        d=1, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
+        d=d, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
         t=54, vocab=cfg.window_encoder.vocab_size,
     )
 
@@ -54,7 +58,7 @@ def main():
 
     fn = jax.jit(lambda p, b: seq2gene_forward(p, b, cfg, impl=impl).pred_expression)
     out = jax.block_until_ready(fn(params, batch))  # compile + warm
-    assert out.shape == (1, 54)
+    assert out.shape == (d, 54)
 
     # Sync via host transfer every iteration: block_until_ready is unreliable
     # under the axon relay (returns before execution completes), which makes
@@ -68,7 +72,7 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
 
-    genes_per_sec = 1.0 / dt
+    genes_per_sec = d / dt
     baseline = 1.0 / 210.0  # H100 end-to-end, 1 gene x all tissues
     print(
         json.dumps(

@@ -3,8 +3,11 @@
 
 Times the full vcf2exp forward at released geometry for each impl
 (xla / fused / fused2) with host-transfer syncing (the relay's ready events
-are unreliable), and computes MFU from the XLA compiler's own cost analysis
-of the compiled executable — not hand estimates. Emits flops_report.json.
+are unreliable), and computes MFU from the analytic matmul-only FLOPs
+counter (utils/flops.py, validated against CPU XLA cost analysis in
+tests/test_aux_components.py). The TPU backend's cost_analysis() is NOT
+used: it measured ~13x low after fusion on this rig and cannot see inside
+Pallas custom calls. Emits flops_report.json.
 
 Round-2 note: the per-layer Pallas flash-attention path was retired (XLA
 won at every per-layer shape; see NOTES.md). Pallas wins come from the

@@ -84,6 +84,65 @@ def test_training_shard_writer(tmp_path):
     assert manifest["count"] == 1
 
 
+def test_seq2reg_shard_writer(tmp_path):
+    """Classifier-shard flow: label join, cross-subject majority, exact
+    chunk_size resampling, test-chromosome routing."""
+    from variantformer_tpu.data.train_pipeline import Seq2RegShardWriter, load_shard
+    from variantformer_tpu.utils.assets import resolve_vocab_path
+    from variantformer_tpu.utils.bpe import BPETokenizer
+    from variantformer_tpu.utils.constants import MAP_CRE_TO_IDX
+
+    rng = np.random.default_rng(1)
+    chrom_seq = {
+        "chr1": "".join(rng.choice(list("ACGT"), 2000)),
+        "chr8": "".join(rng.choice(list("ACGT"), 2000)),
+    }
+    starts = list(range(100, 1500, 200))  # 7 regions per chromosome
+    ref = pd.DataFrame(
+        [
+            {"chromosome": c, "start": s - 5, "end": s + 85, "cCRE": "dELS"}
+            for c in ("chr1", "chr8")
+            for s in starts
+        ]
+    )
+    tok = BPETokenizer.from_file(resolve_vocab_path("bpe_vocabulary_500.json"))
+    writer = Seq2RegShardWriter(
+        ref_cres=ref,
+        tokenizer=tok,
+        seq_fn=lambda subj, c, s, e: chrom_seq[c][max(s, 0) : e],
+        out_dir=tmp_path / "reg",
+        chunk_size=4,
+        max_length=32,
+        test_chr="chr8",
+        neighbour_hood=5,
+    )
+    # Three subjects, one tissue; majority should be the 2-vote winner.
+    bed = lambda label: pd.DataFrame(
+        [
+            {"chromosome": c, "start": s, "end": s + 80, "tissue_cre": label}
+            for c in ("chr1", "chr8")
+            for s in starts
+        ]
+    )
+    writer.add_labels("S1", "liver", bed("PLS"))
+    writer.add_labels("S2", "liver", bed("dELS"))
+    writer.add_labels("S3", "liver", bed("dELS"))
+    written = writer.write()
+    # 3 subjects x 2 chromosomes x ceil(7/4)=2 chunks
+    assert len(written) == 12
+    train = [p for p in written if "/train/" in p]
+    test = [p for p in written if "/test/" in p]
+    assert all("chr1" in p for p in train) and all("chr8" in p for p in test)
+    shard = load_shard([p for p in test if "S1_liver" in p][0])
+    assert shard["tokens"].shape == (4, 32)  # resampled up to chunk_size
+    assert set(shard["tissue_class"]) == {MAP_CRE_TO_IDX["PLS"]}
+    # Majority across S1(PLS), S2(dELS), S3(dELS) is dELS for every region.
+    assert set(shard["majority_class"]) == {MAP_CRE_TO_IDX["dELS"]}
+    assert set(shard["ref_class"]) == {MAP_CRE_TO_IDX["dELS"]}
+    manifest = json.loads((tmp_path / "reg" / "manifest.json").read_text())
+    assert manifest["count"] == 12 and manifest["test_chr"] == "chr8"
+
+
 def test_expression_report(tmp_path):
     from variantformer_tpu.api.visualization import expression_report, tissue_group
 

@@ -10,11 +10,23 @@ is independent through the entire depth. That makes the encoder one kernel:
     activations never round-trip HBM between layers,
   * per-block HBM traffic: one read of the embedded tokens, one write of the
     pooled embeddings, plus the weight stream,
-  * head slicing is lane-aligned: Q/K/V projections are zero-padded per
-    head to 64 lanes (zero columns change nothing in QK^T or PV; 64-offset
-    lane slicing is verified on this Mosaic — at the released head_dim 64
-    the padding is zero-cost), and the attention output feeds the
-    out-projection in padded layout, whose matching rows are zeros.
+  * the token axis is padded to a 16-row tile multiple (200 -> 208) so the
+    per-head attention runs as ONE batched-over-windows dot_general
+    ([WB, LP, D] x [WB, LP, D], batch dims at position 0 — the Mosaic
+    requirement) instead of a window-by-window unroll: 8 head iterations
+    per step instead of WB*H small matmuls, which matters because grid-step
+    instruction count, not FLOPs, is the encoder's marginal cost
+    (measured on the fused modulator: ~70 us/step of fixed overhead),
+  * QKV is one fused [rows, E] @ [E, 3*H*D] projection staged in VMEM
+    scratch (SSA values across the head unroll become register spills),
+  * window_block=24 (~200 grid steps at production shapes) amortizes both
+    the per-step overhead and the per-block weight re-stream; WB=32
+    measured 136.5 MB of VMEM (8.5 over budget — the FFN/gelu transients
+    scale with WB), WB=24 fits.
+
+Head slicing is lane-aligned: projections are zero-padded per head to 64
+lanes (no-op at the released head_dim 64), and the attention output feeds
+the out-projection in padded layout, whose matching rows are zeros.
 
 Implements the plain (use_context=False) layer flavor — the released
 tokenizer checkpoints — with the reference residual topology:
@@ -38,8 +50,7 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _head_lanes(head_dim: int) -> int:
     """Per-head padded width. 64-offset lane slicing of VMEM values is
     verified on this Mosaic, so head_dim<=64 pads to 64 (no waste at the
-    released encoder's head_dim 64 — round 1's 128-lane padding doubled the
-    QKV/out projection FLOPs)."""
+    released encoder's head_dim 64)."""
     if head_dim <= 64:
         return 64
     if head_dim <= 128:
@@ -47,20 +58,25 @@ def _head_lanes(head_dim: int) -> int:
     raise NotImplementedError(f"head_dim {head_dim} > 128")
 
 
+def _roundup(n, m):
+    return -(-n // m) * m
+
+
 def _kernel(
     tok_len_ref,   # [N] int32 (scalar prefetch)
-    x_ref,         # [WB, L, E]
-    bias_ref,      # [H, L, L] f32 (ALiBi, or zeros)
+    x_ref,         # [WB, LP, E]
+    bias_ref,      # [H, LP, LP] f32 (ALiBi, or zeros)
+    kbias_ref,     # [WB, LP] f32 streamed key-validity bias (0 / MASK_VALUE)
     n1s_ref, n1b_ref,          # [1, 1, E]
-    wq_ref, wk_ref, wv_ref,    # [1, E, H*128] zero-padded per head
-    bq_ref, bk_ref, bv_ref,    # [1, 1, H*128]
-    wout_ref, bout_ref,        # [1, H*128, E], [1, 1, E]
+    wqkv_ref, bqkv_ref,        # [1, E, 3*H*lanes], [1, 1, 3*H*lanes]
+    wout_ref, bout_ref,        # [1, H*lanes, E], [1, 1, E]
     n2s_ref, n2b_ref,          # [1, 1, E]
     wf1_ref, bf1_ref,          # [1, E, F], [1, 1, F]
     wf2_ref, bf2_ref,          # [1, F//2, E], [1, 1, E]
     out_ref,       # [WB, E]
-    x_state,       # [WB, L, E] bf16 scratch (persists across layer steps)
-    attn_scratch,  # [WB*L, H*128] bf16 scratch
+    x_state,       # [WB, LP, E] bf16 scratch (persists across layer steps)
+    qkv_scratch,   # [WB*LP, 3*H*lanes] bf16 scratch
+    attn_scratch,  # [WB*LP, H*lanes] bf16 scratch
     *,
     num_layers: int,
     num_heads: int,
@@ -72,7 +88,9 @@ def _kernel(
     wb_idx = pl.program_id(0)
     layer = pl.program_id(1)
     e = x_ref.shape[-1]
-    rows = window_block * seq_len
+    lp = x_ref.shape[1]
+    rows = window_block * lp
+    hp = num_heads * head_lanes
 
     @pl.when(layer == 0)
     def _load():
@@ -89,46 +107,50 @@ def _kernel(
             a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
-
     x = x_state[...]
     h2 = layer_norm(
         x, n1s_ref[0].astype(jnp.float32), n1b_ref[0].astype(jnp.float32)
     ).reshape(rows, e)
-    q_all = (matmul(h2, wq_ref[0]).astype(jnp.bfloat16) + bq_ref[0].astype(jnp.bfloat16))
-    k_all = (matmul(h2, wk_ref[0]).astype(jnp.bfloat16) + bk_ref[0].astype(jnp.bfloat16))
-    v_all = (matmul(h2, wv_ref[0]).astype(jnp.bfloat16) + bv_ref[0].astype(jnp.bfloat16))
+    qkv_scratch[...] = (
+        matmul(h2, wqkv_ref[0]).astype(jnp.bfloat16)
+        + bqkv_ref[0].astype(jnp.bfloat16)
+    )
 
-    for w in range(window_block):          # static unrolls: aligned slices only
-        r0 = w * seq_len
-        for h in range(num_heads):
-            c0 = h * head_lanes
-            q = q_all[r0 : r0 + seq_len, c0 : c0 + head_lanes]
-            k = k_all[r0 : r0 + seq_len, c0 : c0 + head_lanes]
-            v = v_all[r0 : r0 + seq_len, c0 : c0 + head_lanes]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                       # [L, L]; zero pad-lanes add nothing
-            s = s + bias_ref[h]
-            n_valid = tok_len_ref[wb_idx * window_block + w]
-            s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                               # [L, 128]; pad cols stay zero
-            attn_scratch[r0 : r0 + seq_len, c0 : c0 + head_lanes] = o.astype(
-                jnp.bfloat16
-            )
+    for h in range(num_heads):
+        c0 = h * head_lanes
+        q = qkv_scratch[:, c0 : c0 + head_lanes].reshape(
+            window_block, lp, head_lanes
+        )
+        k = qkv_scratch[:, hp + c0 : hp + c0 + head_lanes].reshape(
+            window_block, lp, head_lanes
+        )
+        v = qkv_scratch[:, 2 * hp + c0 : 2 * hp + c0 + head_lanes].reshape(
+            window_block, lp, head_lanes
+        )
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                               # [WB, LP, LP]; zero pad-lanes
+        # ALiBi (per head) + key-validity (per window, precomputed on the
+        # host side of the call: 3D iota/vector-broadcast masks hit Mosaic's
+        # unsupported-shape-cast paths at this rank).
+        s = s + bias_ref[h][None] + kbias_ref[...][:, None, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                       # [WB, LP, lanes]; pads stay 0
+        attn_scratch[:, c0 : c0 + head_lanes] = o.reshape(rows, head_lanes).astype(
+            jnp.bfloat16
+        )
 
     ao = (
         matmul(attn_scratch[...], wout_ref[0]).astype(jnp.bfloat16)
         + bout_ref[0].astype(jnp.bfloat16)
-    ).reshape(window_block, seq_len, e)
-    x1 = ao + x                             # attn + src
+    ).reshape(window_block, lp, e)
+    x1 = ao + x                                 # attn + src
     g = layer_norm(
         x1, n2s_ref[0].astype(jnp.float32), n2b_ref[0].astype(jnp.float32)
     ).reshape(rows, e)
@@ -140,16 +162,16 @@ def _kernel(
     )
     f = (
         matmul(f, wf2_ref[0]).astype(jnp.bfloat16) + bf2_ref[0].astype(jnp.bfloat16)
-    ).reshape(window_block, seq_len, e)
-    x_state[...] = f + x                    # res_long = layer input
+    ).reshape(window_block, lp, e)
+    x_state[...] = f + x                        # res_long = layer input
 
     @pl.when(layer == num_layers - 1)
     def _pool():
         xf = x_state[...].astype(jnp.float32)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (window_block, seq_len), 1)
         lens = jnp.stack(
             [tok_len_ref[wb_idx * window_block + w] for w in range(window_block)]
-        )
+        )                                                   # [WB]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (window_block, lp), 1)
         valid = (pos < lens[:, None]).astype(jnp.float32)
         denom = jnp.maximum(lens.astype(jnp.float32), 1.0)[:, None]
         pooled = jnp.sum(xf * valid[:, :, None], axis=1) / denom
@@ -179,7 +201,7 @@ def fused_window_encoder(
     slopes: jax.Array | None,
     scale: float,
     num_heads: int,
-    window_block: int = 8,
+    window_block: int = 24,
 ) -> jax.Array:
     """Returns pooled window embeddings [N, E] (bf16)."""
     n, l, e = x_emb.shape
@@ -188,21 +210,27 @@ def fused_window_encoder(
     num_layers = layers["norm1"]["scale"].shape[0]
     hp = num_heads * lanes
 
-    n_pad = -(-n // window_block) * window_block
-    if n_pad != n:
-        x_emb = jnp.pad(x_emb, ((0, n_pad - n), (0, 0), (0, 0)))
+    lp = _roundup(l, 16)
+    n_pad = _roundup(n, window_block)
+    if n_pad != n or lp != l:
+        x_emb = jnp.pad(x_emb, ((0, n_pad - n), (0, lp - l), (0, 0)))
         tok_len = jnp.pad(tok_len, (0, n_pad - n))
 
+    kbias = jnp.where(
+        jnp.arange(lp)[None, :] < tok_len[:, None], 0.0, MASK_VALUE
+    ).astype(jnp.float32)                                   # [N_pad, LP]
+
     if slopes is None:
-        bias = jnp.zeros((num_heads, l, l), jnp.float32)
+        bias = jnp.zeros((num_heads, lp, lp), jnp.float32)
     else:
-        pos = jnp.arange(l)
+        pos = jnp.arange(lp)
         dist = jnp.abs(pos[:, None] - pos[None, :]).astype(jnp.float32)
         bias = -slopes.astype(jnp.float32)[:, None, None] * dist
 
     cast = lambda a: a.astype(jnp.bfloat16)
     nl = num_layers
-    # Head-major packed QKV -> per-slot [E, H*D], then zero-pad to H*128.
+    # Head-major packed QKV -> [E, 3*H*lanes] (q block | k block | v block),
+    # zero-padded per head, consumed by one fused projection.
     wqkv = layers["mixer"]["wqkv"]["w"].reshape(nl, e, num_heads, 3, head_dim)
     bqkv = layers["mixer"]["wqkv"]["b"].reshape(nl, num_heads, 3, head_dim)
 
@@ -216,9 +244,9 @@ def fused_window_encoder(
             bs.append(bp)
         return cast(jnp.stack(ws)), cast(jnp.stack(bs))
 
-    wq, bq = slot(0)
-    wk, bk = slot(1)
-    wv, bv = slot(2)
+    (wq, bq), (wk, bk), (wv, bv) = slot(0), slot(1), slot(2)
+    wqkv_p = jnp.concatenate([wq, wk, wv], axis=-1)         # [L, E, 3*HP]
+    bqkv_p = jnp.concatenate([bq, bk, bv], axis=-1)         # [L, 3*HP]
     # out-projection consumes the padded attention layout: insert zero rows.
     wout = layers["mixer"]["out"]["w"].reshape(nl, num_heads, head_dim, e)
     wout_p = jnp.zeros((nl, num_heads, lanes, e), wout.dtype)
@@ -226,7 +254,7 @@ def fused_window_encoder(
 
     weights = [
         layers["norm1"]["scale"], layers["norm1"]["bias"],
-        wq, wk, wv, bq, bk, bv,
+        wqkv_p, bqkv_p,
         wout_p, cast(layers["mixer"]["out"]["b"]),
         layers["norm2"]["scale"], layers["norm2"]["bias"],
         cast(layers["ffn_in"]["w"]), cast(layers["ffn_in"]["b"]),
@@ -256,21 +284,23 @@ def fused_window_encoder(
             num_scalar_prefetch=1,
             grid=(n_pad // window_block, num_layers),
             in_specs=[
-                pl.BlockSpec((window_block, l, e), lambda wb, layer, *_: (wb, 0, 0)),
+                pl.BlockSpec((window_block, lp, e), lambda wb, layer, *_: (wb, 0, 0)),
                 pl.BlockSpec(bias.shape, lambda wb, layer, *_: (0, 0, 0)),
+                pl.BlockSpec((window_block, lp), lambda wb, layer, *_: (wb, 0)),
                 *w_specs,
             ],
             out_specs=pl.BlockSpec((window_block, e), lambda wb, layer, *_: (wb, 0)),
             scratch_shapes=[
-                pltpu.VMEM((window_block, l, e), jnp.bfloat16),
-                pltpu.VMEM((window_block * l, hp), jnp.bfloat16),
+                pltpu.VMEM((window_block, lp, e), jnp.bfloat16),
+                pltpu.VMEM((window_block * lp, 3 * hp), jnp.bfloat16),
+                pltpu.VMEM((window_block * lp, hp), jnp.bfloat16),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, e), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=127 * 2**20,
         ),
         interpret=(jax.default_backend() == "cpu"),
-    )(tok_len.astype(jnp.int32), x_emb, bias, *weights)
+    )(tok_len.astype(jnp.int32), x_emb, bias, kbias, *weights)
     return out[:n]
