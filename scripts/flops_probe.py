@@ -31,6 +31,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None, help="write JSON here (else stdout)")
     ap.add_argument("--impls", default="fused2,fused,xla")
+    ap.add_argument("--d", type=int, default=1,
+                    help="donors per dispatch (bench.py's VFX_BENCH_D)")
     args = ap.parse_args()
 
     import jax
@@ -64,9 +66,10 @@ def main():
         cfg.seq2gene.emb_dim // cfg.seq2gene.num_heads,
     )
     batch = _example_batch(
-        d=1, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
+        d=args.d, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
         t=54, vocab=cfg.window_encoder.vocab_size,
     )
+    report["donors_per_dispatch"] = args.d
 
     # MFU numerator: analytic matmul-only model FLOPs (utils/flops.py,
     # CPU-cost-analysis-validated in tests). The TPU backend's
@@ -74,7 +77,7 @@ def main():
     # and cannot see inside the Pallas custom calls — do not use it.
     from variantformer_tpu.utils.flops import seq2gene_flops
 
-    breakdown = seq2gene_flops(cfg, d=1, c=384, g=cfg.dataset.max_chunks, t=54)
+    breakdown = seq2gene_flops(cfg, d=args.d, c=384, g=cfg.dataset.max_chunks, t=54)
     model_flops = breakdown["total"]
     report["model_flops_analytic"] = {
         k: round(v / 1e12, 3) for k, v in breakdown.items()
@@ -95,7 +98,7 @@ def main():
         dt = sorted(ts)[len(ts) // 2]
         entry = {
             "ms": round(dt * 1e3, 1),
-            "genes_per_s": round(1.0 / dt, 3),
+            "genes_per_s": round(args.d / dt, 3),
             "tflops_per_s": round(model_flops / dt / 1e12, 1),
             "mfu_pct": round(
                 100 * model_flops / dt / 1e12 / V5E_BF16_PEAK_TFLOPS, 1

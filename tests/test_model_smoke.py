@@ -97,6 +97,31 @@ def test_suffix_padding_invariance():
     )
 
 
+def test_cre_token_axis_bucket_invariance():
+    """A narrower CRE token axis (pack_samples' per-batch bucket) must give
+    the same outputs as the full-max_length one: suffix padding is exact."""
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(4), cfg)
+    rng = np.random.default_rng(5)
+    batch = tiny_batch(rng, d=2, c=4, g=3, t=2)
+    l = batch.cre_tokens.shape[2]
+    lens = np.minimum(np.asarray(batch.cre_tok_len), l // 2)
+    tokens = np.asarray(batch.cre_tokens).copy()
+    for i in range(tokens.shape[0]):
+        for j in range(tokens.shape[1]):
+            tokens[i, j, lens[i, j]:] = 0
+    full = batch._replace(
+        cre_tokens=jnp.asarray(tokens), cre_tok_len=jnp.asarray(lens)
+    )
+    narrow = full._replace(cre_tokens=full.cre_tokens[:, :, : l // 2])
+    out_a = seq2gene_forward(params, full, cfg)
+    out_b = seq2gene_forward(params, narrow, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_a.pred_expression), np.asarray(out_b.pred_expression),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_vep_position_gathers():
     cfg = tiny_config()
     params = init_seq2gene(jax.random.key(2), cfg)

@@ -128,7 +128,8 @@ def test_300kb_window_build_pack_forward(realistic_env):
     proc.set_params(init_seq2gene(jax.random.key(0), cfg))
 
     # Inspect the packed batch: the 300 kb window must hit the max_chunks
-    # gene-axis cap and carry hundreds of CRE windows at 200-token length.
+    # gene-axis cap and carry hundreds of CRE windows whose token axis is
+    # bucketed to the actual CRE token counts (NOT the gene max_length).
     from variantformer_tpu.data.pipeline import pack_samples
 
     query = pd.DataFrame({"gene_id": ["BIGGENE.1"], "tissues": ["tissue0,tissue3"]})
@@ -137,12 +138,17 @@ def test_300kb_window_build_pack_forward(realistic_env):
     assert len(samples) == 1
     batch = pack_samples(samples, [0, 3], gene_cap=cfg.dataset.max_chunks)
     d, c, l = batch.cre_tokens.shape
-    g = batch.gene_tokens.shape[1]
-    assert l == 200
+    g, lg = batch.gene_tokens.shape[1:]
+    assert lg == 200
+    # CRE token-axis bucket: a 32-multiple covering the longest CRE window
+    # (~60-120 tokens for a 280 bp CRE + 100 bp neighbourhood), well under
+    # the gene chunks' 200 — the window encoder skips the pad waste.
+    longest = int(batch.cre_tok_len.max())
+    assert l % 32 == 0 and longest <= l < 200 and l - longest < 32
     assert int(batch.cre_count[0]) == N_CRES and c >= N_CRES
     # 300 kb at ~3.6 bp/BPE-token is >=350 windows of 200 tokens -> cap.
     assert int(batch.gene_count[0]) == cfg.dataset.max_chunks == g == 200
-    # CRE windows must actually fill their 200-token budget with real tokens
+    # CRE windows must actually carry real tokens
     # (a 220 bp CRE + 100 bp neighbourhood is ~60-90 BPE tokens).
     assert 40 <= int(np.median(np.asarray(batch.cre_tok_len[0, :N_CRES]))) <= 200
     assert int(batch.gene_tok_len[0].min()) > 0

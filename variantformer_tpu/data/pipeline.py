@@ -180,10 +180,18 @@ def pack_samples(
     bucket_step: int = 64,
     length: int | None = None,
     gene_cap: int | None = 200,
+    cre_token_bucket_step: int | None = 32,
 ):
     """Pack host samples into a Seq2GeneBatch with bucketed static shapes.
     ``gene_cap`` (dataset max_chunks) joins the gene-axis bucket ladder since
-    most genes hit the cap exactly."""
+    most genes hit the cap exactly.
+
+    The CRE token axis gets its own bucket (``cre_token_bucket_step``
+    multiples of the longest actual CRE token count): CRE windows are
+    ~200-400 bp ≈ 30-90 BPE tokens, so padding them to the gene chunks'
+    max_length (200) would triple the window-encoder work on the real
+    workload. Suffix padding is exact (ALiBi + masks), so any bucket
+    produces identical numbers — verified by the padding-invariance test."""
     import jax.numpy as jnp
 
     from variantformer_tpu.models.seq2gene import Seq2GeneBatch
@@ -195,8 +203,16 @@ def pack_samples(
     extra = (gene_cap,) if gene_cap else ()
     g_max = _bucket(max(s.gene_tokens.shape[0] for s in samples), bucket_step,
                     extra=extra)
+    cre_length = length
+    if cre_token_bucket_step:
+        longest = max(
+            (int(s.cre_tok_len.max()) for s in samples if s.cre_tok_len.size),
+            default=1,
+        )
+        step = cre_token_bucket_step
+        cre_length = min(length, max(step, -(-longest // step) * step))
 
-    cre_tokens = np.zeros((d, c_max, length), np.int32)
+    cre_tokens = np.zeros((d, c_max, cre_length), np.int32)
     cre_tok_len = np.zeros((d, c_max), np.int32)
     cre_labels = np.zeros((d, c_max), np.int32)
     cre_count = np.zeros(d, np.int32)
@@ -206,7 +222,7 @@ def pack_samples(
     for i, s in enumerate(samples):
         c = s.cre_tokens.shape[0]
         g = s.gene_tokens.shape[0]
-        cre_tokens[i, :c] = s.cre_tokens
+        cre_tokens[i, :c] = s.cre_tokens[:, :cre_length]
         cre_tok_len[i, :c] = s.cre_tok_len
         cre_labels[i, :c] = s.cre_labels
         cre_count[i] = c

@@ -141,8 +141,11 @@ def seq2gene_forward(
     wcfg = cfg.window_encoder
     compute_dtype = jnp.dtype(cfg.precision.compute_dtype)
 
+    # CRE and gene windows may carry different (bucketed) token lengths —
+    # CRE windows are short (~30-90 BPE tokens) and pack_samples buckets
+    # their token axis separately from the always-full gene chunks.
     d, c, l = batch.cre_tokens.shape
-    g = batch.gene_tokens.shape[1]
+    g, lg = batch.gene_tokens.shape[1:]
     t = batch.tissue_ids.shape[0]
     e = mcfg.emb_dim
 
@@ -176,7 +179,7 @@ def seq2gene_forward(
     ).reshape(d, c, -1)
     gene_emb = encode_windows(
         params["gene_tokenizer"],
-        batch.gene_tokens.reshape(d * g, l),
+        batch.gene_tokens.reshape(d * g, lg),
         batch.gene_tok_len.reshape(d * g),
         jnp.zeros((d * g,), jnp.int32),
         wcfg, enc_spec, compute_dtype,
