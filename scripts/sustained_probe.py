@@ -33,6 +33,13 @@ def build_env(root, n_genes: int, rng):
     from variantformer_tpu.utils.bgzf import write_bgzf
 
     os.makedirs(root, exist_ok=True)
+    # Clear indexes from a previous run at a different --genes: the fasta is
+    # rewritten below but a stale .fai would clamp fetches at the old length.
+    for stale in ("genome.fa.fai", "genome.fa.gzi", "donor.vcf.gz.gzi"):
+        try:
+            os.unlink(os.path.join(root, stale))
+        except FileNotFoundError:
+            pass
     span = 340_000
     chr_len = n_genes * span + 20_000
     seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), chr_len)
@@ -94,6 +101,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1)
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO)  # surface the StageTimer summary
+
     import jax
 
     from variantformer_tpu.api.sweeps import genome_wide_expression
@@ -116,10 +127,13 @@ def main():
     proc.set_params(params)
     tissues = [f"tissue{i}" for i in range(args.tissues)]
 
-    # Warm the device compile outside the measured window (one gene).
+    # Warm the device compile outside the measured window with one FULL
+    # batch group (a 1-gene warm-up would compile d=1 and leave the
+    # d=batch_size shape to compile inside the measured sweep).
     t0 = time.time()
+    warm_genes = [f"GENE{i:03d}.1" for i in range(args.batch_size)]
     genome_wide_expression(
-        proc, vcf, tissues, genes=["GENE000.1"], batch_size=args.batch_size
+        proc, vcf, tissues, genes=warm_genes, batch_size=args.batch_size
     )
     print(f"warm-up (compile) in {time.time() - t0:.1f}s", flush=True)
 

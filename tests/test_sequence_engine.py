@@ -275,3 +275,37 @@ def test_tabix_round_trip(tmp_path):
         assert [(v.pos, v.ref, v.alleles) for v in vi] == \
                [(v.pos, v.ref, v.alleles) for v in vf], f"{chrom}:{a}-{b}"
     assert indexed.query("chrX", 0, 1000) == []
+
+
+# ------------------------------------------------------- thread safety
+def test_concurrent_reads_match_serial(tmp_path):
+    """One shared reader must serve many threads without torn reads.
+
+    Regression: genome-wide sweeps share one FastaReader/BGZFReader across
+    builder workers; a shared-file-position seek+read raced and silently
+    returned wrong bytes (observed as spurious 'gene window shorter than
+    1000bp' skips in the sustained probe)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("ACGT"), 400_000))
+    fa_plain = tmp_path / "g.fa"
+    _write_fasta(fa_plain, {"chr1": seq}, width=70)
+    fa_gz = tmp_path / "g.fa.gz"
+    raw = (">chr1 t\n" + "\n".join(
+        seq[i : i + 70] for i in range(0, len(seq), 70)
+    ) + "\n").encode()
+    write_bgzf(str(fa_gz), raw)
+
+    regions = [
+        (int(s), int(s) + int(l))
+        for s, l in zip(
+            rng.integers(0, 390_000, 200), rng.integers(1, 9_000, 200)
+        )
+    ]
+    for reader in (FastaReader(fa_plain), FastaReader(fa_gz)):
+        expected = [seq[s:e] for s, e in regions]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            got = list(pool.map(lambda r: reader.fetch("chr1", *r), regions))
+        assert got == expected
+        reader.close()

@@ -180,7 +180,7 @@ def pack_samples(
     bucket_step: int = 64,
     length: int | None = None,
     gene_cap: int | None = 200,
-    cre_token_bucket_step: int | None = 32,
+    cre_token_bucket_step: int | None = 64,
 ):
     """Pack host samples into a Seq2GeneBatch with bucketed static shapes.
     ``gene_cap`` (dataset max_chunks) joins the gene-axis bucket ladder since
@@ -188,10 +188,12 @@ def pack_samples(
 
     The CRE token axis gets its own bucket (``cre_token_bucket_step``
     multiples of the longest actual CRE token count): CRE windows are
-    ~200-400 bp ≈ 30-90 BPE tokens, so padding them to the gene chunks'
-    max_length (200) would triple the window-encoder work on the real
-    workload. Suffix padding is exact (ALiBi + masks), so any bucket
-    produces identical numbers — verified by the padding-invariance test."""
+    ~200-400 bp ≈ 30-110 BPE tokens, so padding them to the gene chunks'
+    max_length (200) would roughly triple the window-encoder work on the
+    real workload. Suffix padding is exact (ALiBi + masks), so any bucket
+    produces identical numbers — verified by the padding-invariance test.
+    The step is deliberately coarse (64): each distinct bucket is a compile,
+    and with a 32 step real batches straddle 96/128 and churn recompiles."""
     import jax.numpy as jnp
 
     from variantformer_tpu.models.seq2gene import Seq2GeneBatch

@@ -12,11 +12,14 @@ from __future__ import annotations
 
 import bisect
 import io
+import os
 import struct
+import threading
 import zlib
 from pathlib import Path
 
 _BGZF_MAGIC = b"\x1f\x8b\x08\x04"
+_MAX_BLOCK = 65536  # BSIZE is u16, total block size = BSIZE+1 <= 65536
 _EOF_BLOCK = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
 )
@@ -51,6 +54,22 @@ def is_bgzf(path: str) -> bool:
     return xlen >= 6
 
 
+def _block_size_from_header(buf: bytes) -> int:
+    """Total compressed block size (BSIZE+1) from a block's first bytes."""
+    if buf[:4] != _BGZF_MAGIC:
+        raise ValueError("not a BGZF block")
+    xlen = struct.unpack_from("<H", buf, 10)[0]
+    extra = buf[12 : 12 + xlen]
+    pos = 0
+    while pos + 4 <= len(extra):
+        si1, si2 = extra[pos], extra[pos + 1]
+        slen = struct.unpack_from("<H", extra, pos + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            return struct.unpack_from("<H", extra, pos + 4)[0] + 1
+        pos += 4 + slen
+    raise ValueError("BGZF block missing BC extra field")
+
+
 def _read_block_header(fh) -> int | None:
     """Returns the total compressed block size (BSIZE+1), or None at EOF."""
     header = fh.read(12)
@@ -75,16 +94,20 @@ def _read_block_header(fh) -> int | None:
 
 
 class BGZFReader:
-    """Random-access reader over a BGZF file (thread-unsafe; one per worker)."""
+    """Random-access reader over a BGZF file.
+
+    Thread-safe for reads: block fetches use ``os.pread`` (atomic positioned
+    reads, no shared file-position state) and the decompressed-block cache is
+    per-thread, so one reader can back many builder workers concurrently."""
 
     def __init__(self, path: str | Path):
         self.path = str(path)
         self._fh = open(self.path, "rb")
+        self._fd = self._fh.fileno()
         self._coffs: list[int] = []   # compressed offset per block
         self._uoffs: list[int] = []   # uncompressed offset per block
         self._load_or_build_index()
-        self._cache_block = -1
-        self._cache_data = b""
+        self._local = threading.local()
 
     # -- index ------------------------------------------------------------
     def _load_or_build_index(self):
@@ -133,18 +156,16 @@ class BGZFReader:
 
     # -- block access -----------------------------------------------------
     def _read_block(self, idx: int) -> bytes:
-        if idx == self._cache_block:
-            return self._cache_data
+        cache = getattr(self._local, "cache", None)
+        if cache is not None and cache[0] == idx:
+            return cache[1]
         coff = self._coffs[idx]
-        self._fh.seek(coff)
-        bsize = _read_block_header(self._fh)
-        # _read_block_header leaves fh after the extra field; compressed data
-        # runs to bsize - 12 - xlen - 8; easier: re-read the whole block.
-        self._fh.seek(coff)
-        block = self._fh.read(bsize)
-        data = zlib.decompress(block, wbits=31)
-        self._cache_block = idx
-        self._cache_data = data
+        # One positioned read of the max block size covers any block; slicing
+        # to the header-declared size yields exactly one gzip member.
+        raw = os.pread(self._fd, _MAX_BLOCK, coff)
+        bsize = _block_size_from_header(raw)
+        data = zlib.decompress(raw[:bsize], wbits=31)
+        self._local.cache = (idx, data)
         return data
 
     def read_at(self, uoffset: int, length: int) -> bytes:

@@ -35,8 +35,10 @@ class FastaReader:
         ):
             self._bgzf = BGZFReader(self.path)
             self._fh = None
+            self._fd = None
         else:
             self._fh = open(self.path, "rb")
+            self._fd = self._fh.fileno()
         self.index: dict[str, FaiRecord] = {}
         self._load_or_build_fai()
 
@@ -114,8 +116,9 @@ class FastaReader:
     def _read_bytes(self, offset: int, length: int) -> bytes:
         if self._bgzf is not None:
             return self._bgzf.read_at(offset, length)
-        self._fh.seek(offset)
-        return self._fh.read(length)
+        # os.pread: atomic positioned read — no shared-file-position race, so
+        # one reader safely serves concurrent builder threads.
+        return os.pread(self._fd, length, offset)
 
     def fetch(self, chrom: str, start: int, end: int) -> str:
         """Fetch [start, end) 0-based; clamps to contig bounds."""
