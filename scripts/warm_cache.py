@@ -24,7 +24,13 @@ def main():
     ap.add_argument("--cre-buckets", default="256,384,512")
     ap.add_argument("--gene-buckets", default="200")
     ap.add_argument("--tissues", default="54")
-    ap.add_argument("--donors", default="1")
+    ap.add_argument("--donors", default="1,4")
+    ap.add_argument(
+        "--style", default="both", choices=("both", "bench", "processor"),
+        help="bench = pred_expression-only jit (bench.py/__graft_entry__); "
+        "processor = full Seq2GeneOutput jit (VCFProcessor._forward). The "
+        "two are different HLO, hence different cache entries.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,23 +61,36 @@ def main():
             params["gene_layers"], cfg.seq2gene.num_heads,
             cfg.seq2gene.emb_dim // cfg.seq2gene.num_heads,
         )
-    fn = jax.jit(
-        lambda p, b: seq2gene_forward(p, b, cfg, impl=args.impl).pred_expression
-    )
-    combos = itertools.product(
+    styles = []
+    if args.style in ("both", "bench"):
+        styles.append(
+            ("bench", jax.jit(
+                lambda p, b: seq2gene_forward(p, b, cfg, impl=args.impl).pred_expression
+            ))
+        )
+    if args.style in ("both", "processor"):
+        styles.append(
+            ("processor", jax.jit(
+                lambda p, b: seq2gene_forward(p, b, cfg, impl=args.impl)
+            ))
+        )
+    combos = list(itertools.product(
         [int(x) for x in args.donors.split(",")],
         [int(x) for x in args.cre_buckets.split(",")],
         [int(x) for x in args.gene_buckets.split(",")],
         [int(x) for x in args.tissues.split(",")],
-    )
-    for d, c, g, t in combos:
-        batch = _example_batch(d=d, c=c, g=g, length=cfg.dataset.max_length,
-                               t=t, vocab=cfg.window_encoder.vocab_size)
-        t0 = time.time()
-        import numpy as np
+    ))
+    import numpy as np
 
-        np.asarray(fn(params, batch))
-        print(f"compiled d={d} c={c} g={g} t={t}: {time.time() - t0:.1f}s")
+    for style, fn in styles:
+        for d, c, g, t in combos:
+            batch = _example_batch(d=d, c=c, g=g, length=cfg.dataset.max_length,
+                                   t=t, vocab=cfg.window_encoder.vocab_size)
+            t0 = time.time()
+            out = fn(params, batch)
+            np.asarray(out if style == "bench" else out.pred_expression)
+            print(f"compiled [{style}] d={d} c={c} g={g} t={t}: "
+                  f"{time.time() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -88,17 +88,6 @@ def genome_wide_expression(
             shards += 1
             rows = []
 
-    # Workers build AND pack whole device batches, so the main thread only
-    # dispatches to the device; packing/transfer overlaps accelerator time.
-    groups = [genes[i : i + batch_size] for i in range(0, len(genes), batch_size)]
-
-    def build_group(group):
-        samples = [s for s in (build(g) for g in group) if s is not None]
-        if not samples:
-            return None
-        with timer.stage("pack"):
-            return samples, pack_samples(samples, tissue_ids)
-
     def drain(samples, out):
         with timer.stage("device_sync"):
             preds = np.asarray(out.pred_expression)  # hard sync (host transfer)
@@ -113,19 +102,51 @@ def genome_wide_expression(
                 )
         flush()
 
-    # One-deep software pipeline: dispatch batch i+1 (async) before syncing
-    # batch i, hiding dispatch/relay latency behind device compute.
+    # Workers build genes (one future per gene, so the pipeline fills after
+    # one build, not one whole batch); the main thread groups consecutive
+    # successful samples into full device batches — build failures never
+    # shrink a dispatch group — packs (a few ms), and runs a one-deep
+    # software pipeline: dispatch batch i+1 (async) before syncing batch i,
+    # hiding dispatch/relay latency behind device compute.
     in_flight = None
+
+    def dispatch(samples):
+        nonlocal in_flight
+        with timer.stage("pack"):
+            batch = pack_samples(samples, tissue_ids)
+        with timer.stage("dispatch"):
+            out = processor._forward(batch)
+        if in_flight is not None:
+            drain(*in_flight)
+        in_flight = (samples, out)
+
+    from collections import deque
+
+    limit = max(prefetch, 1) * batch_size  # bounded build-ahead (memory cap)
     with ThreadPoolExecutor(max_workers=4) as pool:
-        for packed in pool.map(build_group, groups, chunksize=1):
-            if packed is None:
+        pending: deque = deque()
+        gene_iter = iter(genes)
+
+        def top_up():
+            while len(pending) < limit:
+                gene_id = next(gene_iter, None)
+                if gene_id is None:
+                    return
+                pending.append(pool.submit(build, gene_id))
+
+        top_up()
+        group: list = []
+        while pending:
+            sample = pending.popleft().result()
+            top_up()
+            if sample is None:
                 continue
-            samples, batch = packed
-            with timer.stage("dispatch"):
-                out = processor._forward(batch)
-            if in_flight is not None:
-                drain(*in_flight)
-            in_flight = (samples, out)
+            group.append(sample)
+            if len(group) == batch_size:
+                dispatch(group)
+                group = []
+        if group:
+            dispatch(group)
         if in_flight is not None:
             drain(*in_flight)
     timer.log_summary("genome-wide")

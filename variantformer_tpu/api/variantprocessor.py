@@ -41,7 +41,7 @@ class VariantProcessor:
         model_class: str = "v4_pcg",
         sources: DataSources | None = None,
         config=None,
-        impl: str = "fused",
+        impl: str = "fused2",
     ):
         # Reuse VCFProcessor for config/vocab/model plumbing.
         self._vp = VCFProcessor(

@@ -71,7 +71,7 @@ class VCFProcessor:
         sources: DataSources | None = None,
         config: ModelConfig | None = None,
         config_path: str | None = None,
-        impl: str = "fused",
+        impl: str = "fused2",
     ):
         from variantformer_tpu.utils.jax_setup import enable_cache
 

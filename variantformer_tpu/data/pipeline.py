@@ -180,20 +180,23 @@ def pack_samples(
     bucket_step: int = 64,
     length: int | None = None,
     gene_cap: int | None = 200,
-    cre_token_bucket_step: int | None = 64,
+    cre_token_bucket_step: int | None = None,
 ):
     """Pack host samples into a Seq2GeneBatch with bucketed static shapes.
     ``gene_cap`` (dataset max_chunks) joins the gene-axis bucket ladder since
     most genes hit the cap exactly.
 
-    The CRE token axis gets its own bucket (``cre_token_bucket_step``
-    multiples of the longest actual CRE token count): CRE windows are
-    ~200-400 bp ≈ 30-110 BPE tokens, so padding them to the gene chunks'
-    max_length (200) would roughly triple the window-encoder work on the
-    real workload. Suffix padding is exact (ALiBi + masks), so any bucket
-    produces identical numbers — verified by the padding-invariance test.
-    The step is deliberately coarse (64): each distinct bucket is a compile,
-    and with a 32 step real batches straddle 96/128 and churn recompiles."""
+    ``cre_token_bucket_step`` (off by default) buckets the CRE token axis to
+    multiples of the longest actual CRE token count instead of padding to the
+    gene chunks' max_length. Measured on a v5e chip, it buys nothing: the
+    fused window encoder runs the same 168-172 ms at L=128 and L=200 for the
+    production CRE count (its marginal cost is per-grid-step overhead and the
+    per-block weight stream, not token-row FLOPs), while every extra bucket
+    is a fresh multi-minute Mosaic compile and a cache entry. One canonical
+    device shape (CREs padded to max_length) keeps all workloads on the
+    single warmed executable. Suffix padding is exact (ALiBi + masks), so
+    either choice produces identical numbers — verified by the
+    padding-invariance test."""
     import jax.numpy as jnp
 
     from variantformer_tpu.models.seq2gene import Seq2GeneBatch
