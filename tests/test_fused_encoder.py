@@ -56,3 +56,22 @@ def test_fused_window_padding():
         rtol=1e-2, atol=1e-2,
     )
     assert out8.shape == (5, 64)
+
+
+def test_ffn_row_chunking_invariant():
+    """ffn_chunks only bounds the FFN's VMEM transient; the math (and hence
+    the output) must be bit-comparable to the unchunked kernel."""
+    cfg, params, tokens, tok_len = _setup(n=8)
+    x_emb = params["token_embedding"][tokens]
+    slopes = jnp.asarray(alibi_slopes(4))
+    outs = [
+        fused_window_encoder(
+            x_emb, tok_len, params["layers"], slopes, 16 ** -0.5, 4,
+            window_block=8, ffn_chunks=ch,
+        )
+        for ch in (1, 2, 4)
+    ]
+    for other in outs[1:]:
+        np.testing.assert_array_equal(
+            np.asarray(outs[0], np.float32), np.asarray(other, np.float32)
+        )

@@ -217,10 +217,28 @@ def saturation_scan(
         return job, sample
 
     rows = []
+    # Bounded build-ahead: Executor.map would submit every job up front and
+    # let workers race arbitrarily far ahead of the device (a 10 kb scan is
+    # ~30k variant samples of host memory); keep a fixed future window.
+    from collections import deque
+
+    limit = 8 * variants_per_batch
     with ThreadPoolExecutor(max_workers=4) as pool:
-        built = pool.map(build_variant, jobs, chunksize=1)
+        pending: deque = deque()
+        job_iter = iter(jobs)
+
+        def top_up():
+            while len(pending) < limit:
+                job = next(job_iter, None)
+                if job is None:
+                    return
+                pending.append(pool.submit(build_variant, job))
+
+        top_up()
         batch_items = []
-        for job, sample in built:
+        while pending:
+            job, sample = pending.popleft().result()
+            top_up()
             if not sample.samples:
                 continue
             # het (index 1) and hom (index 2) share the scan's ref

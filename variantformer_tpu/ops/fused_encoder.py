@@ -84,6 +84,7 @@ def _kernel(
     seq_len: int,
     scale: float,
     head_lanes: int,
+    ffn_chunks: int,
 ):
     wb_idx = pl.program_id(0)
     layer = pl.program_id(1)
@@ -154,16 +155,27 @@ def _kernel(
     g = layer_norm(
         x1, n2s_ref[0].astype(jnp.float32), n2b_ref[0].astype(jnp.float32)
     ).reshape(rows, e)
-    f = matmul(g, wf1_ref[0]).astype(jnp.bfloat16) + bf1_ref[0].astype(jnp.bfloat16)
-    half = f.shape[-1] // 2
-    value, gate = f[:, :half], f[:, half:]
-    f = value * jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(
-        jnp.bfloat16
-    )
-    f = (
-        matmul(f, wf2_ref[0]).astype(jnp.bfloat16) + bf2_ref[0].astype(jnp.bfloat16)
-    ).reshape(window_block, lp, e)
-    x_state[...] = f + x                        # res_long = layer input
+    # The FFN's [rows, F] f32 matmul transient is the VMEM peak that caps
+    # window_block; processing whole-window row chunks bounds it at
+    # rows/ffn_chunks without changing any math (rows are independent).
+    wb_c = window_block // ffn_chunks
+    for ci in range(ffn_chunks):
+        gblk = g[ci * wb_c * lp : (ci + 1) * wb_c * lp]
+        f = (
+            matmul(gblk, wf1_ref[0]).astype(jnp.bfloat16)
+            + bf1_ref[0].astype(jnp.bfloat16)
+        )
+        half = f.shape[-1] // 2
+        value, gate = f[:, :half], f[:, half:]
+        f = value * jax.nn.gelu(
+            gate.astype(jnp.float32), approximate=True
+        ).astype(jnp.bfloat16)
+        f = (
+            matmul(f, wf2_ref[0]).astype(jnp.bfloat16)
+            + bf2_ref[0].astype(jnp.bfloat16)
+        ).reshape(wb_c, lp, e)
+        # res_long = layer input
+        x_state[ci * wb_c : (ci + 1) * wb_c] = f + x[ci * wb_c : (ci + 1) * wb_c]
 
     @pl.when(layer == num_layers - 1)
     def _pool():
@@ -192,7 +204,8 @@ def _pad_heads(w, b, num_heads, head_dim, lanes):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "window_block")
+    jax.jit,
+    static_argnames=("num_heads", "scale", "window_block", "ffn_chunks"),
 )
 def fused_window_encoder(
     x_emb: jax.Array,      # [N, L, E] embedded tokens
@@ -202,6 +215,7 @@ def fused_window_encoder(
     scale: float,
     num_heads: int,
     window_block: int = 24,
+    ffn_chunks: int = 1,
 ) -> jax.Array:
     """Returns pooled window embeddings [N, E] (bf16)."""
     n, l, e = x_emb.shape
@@ -262,6 +276,8 @@ def fused_window_encoder(
     ]
     weights = [w[:, None, :] if w.ndim == 2 else w for w in weights]
 
+    if window_block % ffn_chunks:
+        raise ValueError("ffn_chunks must divide window_block")
     kernel = functools.partial(
         _kernel,
         num_layers=num_layers,
@@ -270,6 +286,7 @@ def fused_window_encoder(
         seq_len=l,
         scale=scale,
         head_lanes=lanes,
+        ffn_chunks=ffn_chunks,
     )
     w_specs = [
         pl.BlockSpec(
