@@ -32,6 +32,14 @@ import pandas as pd
 from IPython.display import HTML, display
 
 from _common import artifacts_present, build_processor
+
+if not artifacts_present():
+    # Synthetic demo mode uses a tiny random model: run on CPU so the demo
+    # is deterministic and does not hinge on accelerator availability
+    # (CI executes this notebook under nbclient).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 """
 
 RUN = """\
