@@ -75,3 +75,28 @@ def test_ffn_row_chunking_invariant():
         np.testing.assert_array_equal(
             np.asarray(outs[0], np.float32), np.asarray(other, np.float32)
         )
+
+
+def test_dual_stack_matches_separate():
+    """One dual-stack launch must equal two single-stack launches: the
+    window-block index selects the weight stack (A blocks then B blocks)."""
+    from variantformer_tpu.ops.fused_encoder import fused_window_encoder_dual
+
+    cfg, params_a, tokens_a, len_a = _setup(seed=0, n=10)
+    _, params_b, tokens_b, len_b = _setup(seed=1, n=7)
+    slopes = jnp.asarray(alibi_slopes(4))
+    xa = params_a["token_embedding"][tokens_a]
+    xb = params_b["token_embedding"][tokens_b]
+    ref_a = fused_window_encoder(
+        xa, len_a, params_a["layers"], slopes, 16 ** -0.5, 4, window_block=4
+    )
+    ref_b = fused_window_encoder(
+        xb, len_b, params_b["layers"], slopes, 16 ** -0.5, 4, window_block=4
+    )
+    out_a, out_b = fused_window_encoder_dual(
+        xa, len_a, params_a["layers"], xb, len_b, params_b["layers"],
+        slopes, 16 ** -0.5, 4, window_block=4,
+    )
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(ref_a))
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref_b))
+    assert out_a.shape == (10, 64) and out_b.shape == (7, 64)

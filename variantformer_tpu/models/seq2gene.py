@@ -170,20 +170,44 @@ def seq2gene_forward(
     )
 
     # === 1. Window encoding (frozen tokenizers), per donor ===
-    cre_emb = encode_windows(
-        params["cre_tokenizer"],
-        batch.cre_tokens.reshape(d * c, l),
-        batch.cre_tok_len.reshape(d * c),
-        batch.cre_labels.reshape(d * c),
-        wcfg, enc_spec, compute_dtype,
-    ).reshape(d, c, -1)
-    gene_emb = encode_windows(
-        params["gene_tokenizer"],
-        batch.gene_tokens.reshape(d * g, lg),
-        batch.gene_tok_len.reshape(d * g),
-        jnp.zeros((d * g,), jnp.int32),
-        wcfg, enc_spec, compute_dtype,
-    ).reshape(d, g, -1)
+    if (
+        enc_spec.impl == "fused"
+        and not wcfg.use_context
+        and wcfg.seq_pool == "mean"
+        and l == lg
+    ):
+        # One fused-encoder launch for BOTH window sets: the grid's
+        # window-block index selects which tokenizer's weights stream
+        # (ops/fused_encoder.fused_window_encoder_dual) — one pipeline
+        # fill/drain instead of two.
+        from variantformer_tpu.models.seq2reg import encode_windows_dual
+
+        cre_emb, gene_emb = encode_windows_dual(
+            params["cre_tokenizer"],
+            batch.cre_tokens.reshape(d * c, l),
+            batch.cre_tok_len.reshape(d * c),
+            params["gene_tokenizer"],
+            batch.gene_tokens.reshape(d * g, lg),
+            batch.gene_tok_len.reshape(d * g),
+            wcfg, enc_spec, compute_dtype,
+        )
+        cre_emb = cre_emb.reshape(d, c, -1)
+        gene_emb = gene_emb.reshape(d, g, -1)
+    else:
+        cre_emb = encode_windows(
+            params["cre_tokenizer"],
+            batch.cre_tokens.reshape(d * c, l),
+            batch.cre_tok_len.reshape(d * c),
+            batch.cre_labels.reshape(d * c),
+            wcfg, enc_spec, compute_dtype,
+        ).reshape(d, c, -1)
+        gene_emb = encode_windows(
+            params["gene_tokenizer"],
+            batch.gene_tokens.reshape(d * g, lg),
+            batch.gene_tok_len.reshape(d * g),
+            jnp.zeros((d * g,), jnp.int32),
+            wcfg, enc_spec, compute_dtype,
+        ).reshape(d, g, -1)
 
     # === 2. Map to modulator width ===
     cre = core.linear(params["cre_map"], cre_emb, compute_dtype)    # [D, C, E]

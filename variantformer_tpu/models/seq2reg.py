@@ -55,6 +55,46 @@ def _constant_context_bias(
     return core.linear(cross_p["out"], v, compute_dtype)      # [B, E]
 
 
+def encode_windows_dual(
+    params_a: Params,
+    tokens_a: jax.Array,      # [Na, L] int32 BPE ids (suffix-padded)
+    tok_len_a: jax.Array,     # [Na] int32
+    params_b: Params,
+    tokens_b: jax.Array,      # [Nb, L] int32
+    tok_len_b: jax.Array,     # [Nb] int32
+    cfg: WindowEncoderConfig,
+    spec: AttnSpec,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Encode two window sets with different weights (e.g. the CRE and gene
+    tokenizers) in ONE fused-encoder call — the grid's window-block index
+    selects which stack's weights stream. Requires the fused path
+    (spec.impl == "fused", plain layers, mean pooling); callers fall back to
+    two encode_windows calls otherwise."""
+    from variantformer_tpu.ops.fused_encoder import fused_window_encoder_dual
+
+    assert not cfg.use_context and cfg.seq_pool == "mean"
+    slopes = (
+        jnp.asarray(alibi_slopes(cfg.num_heads))
+        if cfg.positional_encoding == "alibi" else None
+    )
+    length = tokens_a.shape[1]
+    x_a = params_a["token_embedding"][tokens_a].astype(compute_dtype)
+    x_b = params_b["token_embedding"][tokens_b].astype(compute_dtype)
+    if cfg.positional_encoding != "alibi":
+        pe = jnp.asarray(
+            sinusoidal_position_encoding(cfg.embedding_dim, length)
+        ).astype(compute_dtype)
+        x_a = x_a + pe
+        x_b = x_b + pe
+    out_a, out_b = fused_window_encoder_dual(
+        x_a, tok_len_a, params_a["layers"],
+        x_b, tok_len_b, params_b["layers"],
+        slopes, spec.scale, cfg.num_heads,
+    )
+    return out_a.astype(compute_dtype), out_b.astype(compute_dtype)
+
+
 def encode_windows(
     params: Params,
     tokens: jax.Array,        # [N, L] int32 BPE ids (suffix-padded)

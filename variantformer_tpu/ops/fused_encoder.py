@@ -203,46 +203,12 @@ def _pad_heads(w, b, num_heads, head_dim, lanes):
     return wp.reshape(e_in, num_heads * lanes), bp.reshape(-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_heads", "scale", "window_block", "ffn_chunks"),
-)
-def fused_window_encoder(
-    x_emb: jax.Array,      # [N, L, E] embedded tokens
-    tok_len: jax.Array,    # [N] int32
-    layers: dict,          # stacked plain-layer params (models/init layout)
-    slopes: jax.Array | None,
-    scale: float,
-    num_heads: int,
-    window_block: int = 24,
-    ffn_chunks: int = 1,
-) -> jax.Array:
-    """Returns pooled window embeddings [N, E] (bf16)."""
-    n, l, e = x_emb.shape
-    head_dim = e // num_heads
-    lanes = _head_lanes(head_dim)
-    num_layers = layers["norm1"]["scale"].shape[0]
+def _pack_weights(layers: dict, num_heads: int, head_dim: int, lanes: int):
+    """Stacked per-layer params -> the kernel's 12 streamed weight operands,
+    each [num_layers, ...] with 2-D params lifted to [L, 1, X]."""
+    nl, e = layers["norm1"]["scale"].shape[0], layers["norm1"]["scale"].shape[-1]
     hp = num_heads * lanes
-
-    lp = _roundup(l, 16)
-    n_pad = _roundup(n, window_block)
-    if n_pad != n or lp != l:
-        x_emb = jnp.pad(x_emb, ((0, n_pad - n), (0, lp - l), (0, 0)))
-        tok_len = jnp.pad(tok_len, (0, n_pad - n))
-
-    kbias = jnp.where(
-        jnp.arange(lp)[None, :] < tok_len[:, None], 0.0, MASK_VALUE
-    ).astype(jnp.float32)                                   # [N_pad, LP]
-
-    if slopes is None:
-        bias = jnp.zeros((num_heads, lp, lp), jnp.float32)
-    else:
-        pos = jnp.arange(lp)
-        dist = jnp.abs(pos[:, None] - pos[None, :]).astype(jnp.float32)
-        bias = -slopes.astype(jnp.float32)[:, None, None] * dist
-
     cast = lambda a: a.astype(jnp.bfloat16)
-    nl = num_layers
     # Head-major packed QKV -> [E, 3*H*lanes] (q block | k block | v block),
     # zero-padded per head, consumed by one fused projection.
     wqkv = layers["mixer"]["wqkv"]["w"].reshape(nl, e, num_heads, 3, head_dim)
@@ -274,7 +240,30 @@ def fused_window_encoder(
         cast(layers["ffn_in"]["w"]), cast(layers["ffn_in"]["b"]),
         cast(layers["ffn_out"]["w"]), cast(layers["ffn_out"]["b"]),
     ]
-    weights = [w[:, None, :] if w.ndim == 2 else w for w in weights]
+    return [w[:, None, :] if w.ndim == 2 else w for w in weights]
+
+
+def _run_encoder(
+    x_emb, tok_len, weights, slopes, scale, num_heads, window_block,
+    ffn_chunks, num_layers, weight_block_index,
+):
+    """Shared pallas_call driver. ``weight_block_index(wb, layer)`` maps a
+    grid position to a row of the (possibly multi-stack) weight operands."""
+    n_pad, lp, e = x_emb.shape
+    head_dim = e // num_heads
+    lanes = _head_lanes(head_dim)
+    hp = num_heads * lanes
+
+    kbias = jnp.where(
+        jnp.arange(lp)[None, :] < tok_len[:, None], 0.0, MASK_VALUE
+    ).astype(jnp.float32)                                   # [N_pad, LP]
+
+    if slopes is None:
+        bias = jnp.zeros((num_heads, lp, lp), jnp.float32)
+    else:
+        pos = jnp.arange(lp)
+        dist = jnp.abs(pos[:, None] - pos[None, :]).astype(jnp.float32)
+        bias = -slopes.astype(jnp.float32)[:, None, None] * dist
 
     if window_block % ffn_chunks:
         raise ValueError("ffn_chunks must divide window_block")
@@ -283,7 +272,7 @@ def fused_window_encoder(
         num_layers=num_layers,
         num_heads=num_heads,
         window_block=window_block,
-        seq_len=l,
+        seq_len=lp,
         scale=scale,
         head_lanes=lanes,
         ffn_chunks=ffn_chunks,
@@ -291,7 +280,8 @@ def fused_window_encoder(
     w_specs = [
         pl.BlockSpec(
             (1, *w.shape[1:]),
-            (lambda wb, layer, *_, nd=w.ndim: (layer,) + (0,) * (nd - 1)),
+            (lambda wb, layer, *_, nd=w.ndim:
+             (weight_block_index(wb, layer),) + (0,) * (nd - 1)),
         )
         for w in weights
     ]
@@ -320,4 +310,97 @@ def fused_window_encoder(
         ),
         interpret=(jax.default_backend() == "cpu"),
     )(tok_len.astype(jnp.int32), x_emb, bias, kbias, *weights)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "window_block", "ffn_chunks"),
+)
+def fused_window_encoder(
+    x_emb: jax.Array,      # [N, L, E] embedded tokens
+    tok_len: jax.Array,    # [N] int32
+    layers: dict,          # stacked plain-layer params (models/init layout)
+    slopes: jax.Array | None,
+    scale: float,
+    num_heads: int,
+    window_block: int = 24,
+    ffn_chunks: int = 1,
+) -> jax.Array:
+    """Returns pooled window embeddings [N, E] (bf16)."""
+    n, l, e = x_emb.shape
+    head_dim = e // num_heads
+    lanes = _head_lanes(head_dim)
+    num_layers = layers["norm1"]["scale"].shape[0]
+
+    lp = _roundup(l, 16)
+    n_pad = _roundup(n, window_block)
+    if n_pad != n or lp != l:
+        x_emb = jnp.pad(x_emb, ((0, n_pad - n), (0, lp - l), (0, 0)))
+        tok_len = jnp.pad(tok_len, (0, n_pad - n))
+
+    weights = _pack_weights(layers, num_heads, head_dim, lanes)
+    out = _run_encoder(
+        x_emb, tok_len, weights, slopes, scale, num_heads, window_block,
+        ffn_chunks, num_layers, lambda wb, layer: layer,
+    )
     return out[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "window_block", "ffn_chunks"),
+)
+def fused_window_encoder_dual(
+    x_emb_a: jax.Array,    # [Na, L, E] embedded tokens (stack A, e.g. CRE)
+    tok_len_a: jax.Array,  # [Na] int32
+    layers_a: dict,
+    x_emb_b: jax.Array,    # [Nb, L, E] embedded tokens (stack B, e.g. gene)
+    tok_len_b: jax.Array,  # [Nb] int32
+    layers_b: dict,
+    slopes: jax.Array | None,
+    scale: float,
+    num_heads: int,
+    window_block: int = 24,
+    ffn_chunks: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Encode two window sets with DIFFERENT weight stacks (same geometry)
+    in ONE pallas call: each set pads to a whole number of window blocks and
+    the grid's window-block index selects which stack's weights stream
+    (A-blocks first, then B-blocks). One kernel launch and one pipeline
+    fill/drain instead of two — the window stage is grid-step-bound, so the
+    launch/drain overhead is a measurable slice. Returns (pooled_a, pooled_b).
+    """
+    na, l, e = x_emb_a.shape
+    nb = x_emb_b.shape[0]
+    assert x_emb_b.shape[1:] == (l, e), "both stacks must share (L, E)"
+    head_dim = e // num_heads
+    lanes = _head_lanes(head_dim)
+    num_layers = layers_a["norm1"]["scale"].shape[0]
+    assert layers_b["norm1"]["scale"].shape[0] == num_layers
+
+    lp = _roundup(l, 16)
+    na_pad = _roundup(na, window_block)
+    nb_pad = _roundup(nb, window_block)
+    pad = lambda x, npad: jnp.pad(
+        x, ((0, npad - x.shape[0]), (0, lp - l), (0, 0))
+    )
+    x_emb = jnp.concatenate([pad(x_emb_a, na_pad), pad(x_emb_b, nb_pad)])
+    tok_len = jnp.concatenate(
+        [
+            jnp.pad(tok_len_a, (0, na_pad - na)),
+            jnp.pad(tok_len_b, (0, nb_pad - nb)),
+        ]
+    )
+
+    wa = _pack_weights(layers_a, num_heads, head_dim, lanes)
+    wb_ = _pack_weights(layers_b, num_heads, head_dim, lanes)
+    weights = [jnp.concatenate([a, b], axis=0) for a, b in zip(wa, wb_)]
+
+    a_blocks = na_pad // window_block
+    out = _run_encoder(
+        x_emb, tok_len, weights, slopes, scale, num_heads, window_block,
+        ffn_chunks, num_layers,
+        lambda wb, layer: layer + jnp.where(wb >= a_blocks, num_layers, 0),
+    )
+    return out[:na], out[na_pad : na_pad + nb]
