@@ -412,3 +412,23 @@ def test_analytic_flops_vs_cpu_cost_analysis():
     assert analytic_layer <= ca_layer <= analytic_layer * 1.3, (
         analytic_layer, ca_layer,
     )
+
+
+def test_retry_fails_fast_on_permanent_errors():
+    """Non-transient errors (ImportError etc.) must raise immediately, not
+    burn the whole backoff ceiling — an offline box hits this on every
+    optional-dependency fetch."""
+    import time
+
+    from variantformer_tpu.utils.retry import retry_with_backoff
+
+    calls = []
+
+    def broken():
+        calls.append(1)
+        raise ImportError("Install s3fs to access S3")
+
+    t0 = time.monotonic()
+    with pytest.raises(ImportError):
+        retry_with_backoff(broken, timeout=60.0, initial_delay=0.5)
+    assert len(calls) == 1 and time.monotonic() - t0 < 1.0

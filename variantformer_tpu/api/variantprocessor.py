@@ -62,6 +62,12 @@ class VariantProcessor:
     def set_params(self, params, config=None):
         self._vp.set_params(params, config)
 
+    def cleanup(self):
+        """Release model memory (reference processors/variantprocessor.py:
+        515-525 empties the CUDA cache; here we drop the device param
+        arrays and the cached jitted executables)."""
+        self._vp.cleanup()
+
     # -- variant loading ----------------------------------------------------
     def load_variants(self, var_df: pd.DataFrame) -> list[Variant]:
         df = var_df.rename(columns={"chr": "chrom"})

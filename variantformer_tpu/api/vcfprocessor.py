@@ -252,6 +252,12 @@ class VCFProcessor:
                 mcfg.emb_dim // mcfg.num_heads,
             )
 
+    def cleanup(self):
+        """Release model memory: drop the device param arrays and the cached
+        jitted executables (reference variantprocessor.py:515-525 parity)."""
+        self._params = None
+        self._fwd_cache.clear()
+
     def _forward(self, batch):
         key = (
             batch.cre_tokens.shape,

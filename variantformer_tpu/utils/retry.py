@@ -18,6 +18,12 @@ log = logging.getLogger(__name__)
 
 T = TypeVar("T")
 
+# Errors that no amount of retrying fixes: environment/programming problems,
+# not transient store/filesystem glitches. Raised immediately.
+PERMANENT_ERRORS = (
+    ImportError, TypeError, AttributeError, NameError, KeyboardInterrupt,
+)
+
 
 def retry_with_backoff(
     fn: Callable[[], T],
@@ -37,6 +43,10 @@ def retry_with_backoff(
         try:
             return fn()
         except exceptions as exc:
+            if isinstance(exc, PERMANENT_ERRORS):
+                log.error("%s failed permanently (non-transient %s): %s",
+                          describe, type(exc).__name__, exc)
+                raise
             if time.monotonic() - start > timeout:
                 log.error("%s failed permanently after %.0fs: %s",
                           describe, timeout, exc)
