@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="use the synthetic fixture genome + tiny random model")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the model over this host's local devices "
+                         "(DP over 'data' x head/FFN TP over 'model' via "
+                         "VCFProcessor.use_mesh); without it each forward "
+                         "runs single-device")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); needed on rigs "
                          "whose sitecustomize overrides JAX_PLATFORMS")
@@ -85,6 +90,9 @@ def main():
         proc.load_model()
         vcf = args.vcf
         tissues = args.tissues.split(",")
+
+    if args.mesh:
+        proc.use_mesh()
 
     gencode = proc.get_genes()
     genes = (

@@ -133,3 +133,42 @@ def test_two_process_distributed_launcher(tmp_path):
     # Distributed init must have actually split the 2-gene synthetic set —
     # a silent single-process fallback would give each process both genes.
     assert [s["genes"] for s in stats] == [1, 1]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_use_mesh_sweep_matches_single_device(tmp_path):
+    """VCFProcessor.use_mesh scales the whole API across the mesh: a
+    genome-wide sweep under DP+TP must reproduce single-device predictions,
+    including a final short batch (donor padding on the data axis)."""
+    sys.path.insert(0, str(REPO / "examples"))
+    from _common import synthetic_env
+
+    from variantformer_tpu.api.sweeps import genome_wide_expression
+    from variantformer_tpu.api.vcfprocessor import VCFProcessor
+
+    import dataclasses
+
+    sources, cfg, extras = synthetic_env(str(tmp_path / "env"))
+    cfg = dataclasses.replace(
+        cfg, precision=PrecisionPolicy(compute_dtype="float32")
+    )
+
+    def run(meshed):
+        proc = VCFProcessor(sources=sources, config=cfg, impl="xla")
+        proc.set_params(init_seq2gene(jax.random.key(0), cfg))
+        if meshed:
+            proc.use_mesh(pmesh.make_mesh(devices=jax.devices()[:8]))
+        names = list(proc.tissue_vocab)[:3]
+        # batch_size=3 on a data axis of 2 forces donor padding every batch.
+        return genome_wide_expression(
+            proc, extras["vcf"], names, batch_size=3
+        ).sort_values(["gene_id", "tissue"]).reset_index(drop=True)
+
+    base = run(meshed=False)
+    meshed = run(meshed=True)
+    assert list(base["gene_id"]) == list(meshed["gene_id"])
+    np.testing.assert_allclose(
+        base["predicted_expression"].to_numpy(),
+        meshed["predicted_expression"].to_numpy(),
+        rtol=2e-5, atol=2e-5,
+    )

@@ -16,13 +16,14 @@ import logging
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import yaml
 
 from variantformer_tpu.config import ModelConfig, load_model_config
 from variantformer_tpu.data.pipeline import GeneSampleBuilder, pack_samples
-from variantformer_tpu.models.seq2gene import seq2gene_forward
+from variantformer_tpu.models.seq2gene import Seq2GeneBatch, seq2gene_forward
 from variantformer_tpu.utils import assets
 from variantformer_tpu.utils.bgzf import write_bgzf
 from variantformer_tpu.utils.bpe import BPETokenizer
@@ -258,7 +259,50 @@ class VCFProcessor:
         self._params = None
         self._fwd_cache.clear()
 
+    def use_mesh(self, mesh=None):
+        """Scale every flow (vcf2exp, VEP, sweeps) across a device mesh:
+        params shard head/FFN tensor-parallel over the "model" axis and
+        donor batches data-parallel over "data" (parallel/mesh.py). Call
+        after load_model()/set_params(). Batches whose donor count does not
+        divide the data axis are suffix-padded in _forward and the pad rows
+        sliced off. The fused single-chip Pallas kernels do not partition
+        under GSPMD, so meshed forwards run the XLA path."""
+        from variantformer_tpu.parallel.mesh import make_mesh, shard_params
+
+        assert self._params is not None, "call load_model()/set_params() first"
+        mesh = mesh or make_mesh()
+        if self.impl != "xla":
+            log.info("use_mesh: impl %r -> 'xla' (kernels are single-chip)",
+                     self.impl)
+            self.impl = "xla"
+            self._params.pop("gene_layers_packed", None)
+        self._params = shard_params(self._params, mesh)
+        self._mesh = mesh
+        self._fwd_cache.clear()
+
     def _forward(self, batch):
+        mesh = getattr(self, "_mesh", None)
+        d = batch.cre_tokens.shape[0]
+        if mesh is not None:
+            from variantformer_tpu.parallel.mesh import shard_batch
+
+            data = mesh.shape["data"]
+            if d % data:
+                pad = data - d % data
+                batch = Seq2GeneBatch(
+                    **{
+                        name: (
+                            leaf if leaf is None or leaf.ndim == 0
+                            or name == "tissue_ids"
+                            else jnp.concatenate(
+                                [leaf] + [leaf[-1:]] * pad, axis=0
+                            )
+                        )
+                        for name in batch._fields
+                        for leaf in [getattr(batch, name)]
+                    }
+                )
+            batch = shard_batch(batch, mesh)
         key = (
             batch.cre_tokens.shape,
             batch.gene_tokens.shape,
@@ -270,7 +314,10 @@ class VCFProcessor:
             self._fwd_cache[key] = jax.jit(
                 lambda p, b: seq2gene_forward(p, b, cfg, impl=impl)
             )
-        return self._fwd_cache[key](self._params, batch)
+        out = self._fwd_cache[key](self._params, batch)
+        if batch.cre_tokens.shape[0] != d:  # slice off donor padding
+            out = type(out)(*(leaf[:d] for leaf in out))
+        return out
 
     # -- prediction ---------------------------------------------------------
     def predict(
