@@ -68,6 +68,10 @@ class VariantProcessor:
         arrays and the cached jitted executables)."""
         self._vp.cleanup()
 
+    def use_mesh(self, mesh=None):
+        """Shard the model over a device mesh (see VCFProcessor.use_mesh)."""
+        self._vp.use_mesh(mesh)
+
     # -- variant loading ----------------------------------------------------
     def load_variants(self, var_df: pd.DataFrame) -> list[Variant]:
         df = var_df.rename(columns={"chr": "chrom"})
