@@ -92,7 +92,13 @@ def main():
         tissues = args.tissues.split(",")
 
     if args.mesh:
-        proc.use_mesh()
+        # THIS HOST's devices only: in a multi-host run each process sweeps
+        # its own gene share, so meshes must not span processes.
+        import jax
+
+        from variantformer_tpu.parallel.mesh import make_mesh
+
+        proc.use_mesh(make_mesh(devices=jax.local_devices()))
 
     gencode = proc.get_genes()
     genes = (

@@ -127,14 +127,19 @@ def main():
     proc.set_params(params)
     tissues = [f"tissue{i}" for i in range(args.tissues)]
 
-    # Warm the device compile outside the measured window with one FULL
-    # batch group (a 1-gene warm-up would compile d=1 and leave the
-    # d=batch_size shape to compile inside the measured sweep).
+    # Warm the device compile outside the measured window for EVERY donor
+    # shape the sweep will dispatch: the full d=batch_size groups plus the
+    # final short group when --genes is not a multiple of --batch-size
+    # (each distinct d is its own executable).
     t0 = time.time()
-    warm_genes = [f"GENE{i:03d}.1" for i in range(args.batch_size)]
-    genome_wide_expression(
-        proc, vcf, tissues, genes=warm_genes, batch_size=args.batch_size
-    )
+    warm_counts = {min(args.batch_size, args.genes)}
+    if args.genes % args.batch_size:
+        warm_counts.add(args.genes % args.batch_size)
+    for n in sorted(warm_counts):
+        genome_wide_expression(
+            proc, vcf, tissues, genes=[f"GENE{i:03d}.1" for i in range(n)],
+            batch_size=n,
+        )
     print(f"warm-up (compile) in {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()

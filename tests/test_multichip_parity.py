@@ -159,10 +159,16 @@ def test_use_mesh_sweep_matches_single_device(tmp_path):
         if meshed:
             proc.use_mesh(pmesh.make_mesh(devices=jax.devices()[:8]))
         names = list(proc.tissue_vocab)[:3]
-        # batch_size=3 on a data axis of 2 forces donor padding every batch.
-        return genome_wide_expression(
-            proc, extras["vcf"], names, batch_size=3
-        ).sort_values(["gene_id", "tissue"]).reset_index(drop=True)
+        # A 3-donor group on a data axis of 2 forces the suffix-padding +
+        # output-slicing path in _forward (the synthetic env has only two
+        # genes, so request one twice to get an odd batch).
+        genes = ["GENE1.1", "GENE2.1", "GENE1.1"]
+        df = genome_wide_expression(
+            proc, extras["vcf"], names, genes=genes, batch_size=3
+        )
+        # collapse the duplicate gene rows (identical predictions)
+        df = df.drop_duplicates(["gene_id", "tissue"])
+        return df.sort_values(["gene_id", "tissue"]).reset_index(drop=True)
 
     base = run(meshed=False)
     meshed = run(meshed=True)

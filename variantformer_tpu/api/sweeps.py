@@ -29,6 +29,31 @@ from variantformer_tpu.utils.profiling import StageTimer
 log = logging.getLogger(__name__)
 
 
+def _bounded_map(pool, fn, items, limit: int):
+    """Yield fn(item) in order with at most ``limit`` builds in flight.
+
+    Executor.map would submit every item up front, letting workers race
+    arbitrarily far ahead of the device and pinning the whole work list's
+    samples in host memory; this keeps a fixed future window instead."""
+    from collections import deque
+
+    pending: deque = deque()
+    it = iter(items)
+
+    def top_up():
+        while len(pending) < limit:
+            item = next(it, None)
+            if item is None:
+                return
+            pending.append(pool.submit(fn, item))
+
+    top_up()
+    while pending:
+        result = pending.popleft().result()
+        top_up()
+        yield result
+
+
 def genome_wide_expression(
     processor,
     vcf_path: str | None,
@@ -120,25 +145,10 @@ def genome_wide_expression(
             drain(*in_flight)
         in_flight = (samples, out)
 
-    from collections import deque
-
     limit = max(prefetch, 1) * batch_size  # bounded build-ahead (memory cap)
     with ThreadPoolExecutor(max_workers=4) as pool:
-        pending: deque = deque()
-        gene_iter = iter(genes)
-
-        def top_up():
-            while len(pending) < limit:
-                gene_id = next(gene_iter, None)
-                if gene_id is None:
-                    return
-                pending.append(pool.submit(build, gene_id))
-
-        top_up()
         group: list = []
-        while pending:
-            sample = pending.popleft().result()
-            top_up()
+        for sample in _bounded_map(pool, build, genes, limit):
             if sample is None:
                 continue
             group.append(sample)
@@ -166,6 +176,7 @@ def saturation_scan(
     alts: str = "ACGT",
     variants_per_batch: int = 8,
     vcf_path: str | None = None,
+    prefetch: int = 8,
 ) -> pd.DataFrame:
     """Score every SNV in 1-based [start, end] against ``gene_id``.
 
@@ -217,28 +228,10 @@ def saturation_scan(
         return job, sample
 
     rows = []
-    # Bounded build-ahead: Executor.map would submit every job up front and
-    # let workers race arbitrarily far ahead of the device (a 10 kb scan is
-    # ~30k variant samples of host memory); keep a fixed future window.
-    from collections import deque
-
-    limit = 8 * variants_per_batch
+    limit = max(prefetch, 1) * variants_per_batch  # bounded build-ahead
     with ThreadPoolExecutor(max_workers=4) as pool:
-        pending: deque = deque()
-        job_iter = iter(jobs)
-
-        def top_up():
-            while len(pending) < limit:
-                job = next(job_iter, None)
-                if job is None:
-                    return
-                pending.append(pool.submit(build_variant, job))
-
-        top_up()
         batch_items = []
-        while pending:
-            job, sample = pending.popleft().result()
-            top_up()
+        for job, sample in _bounded_map(pool, build_variant, jobs, limit):
             if not sample.samples:
                 continue
             # het (index 1) and hom (index 2) share the scan's ref

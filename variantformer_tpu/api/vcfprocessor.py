@@ -237,7 +237,10 @@ class VCFProcessor:
         return loaded.params
 
     def set_params(self, params, config: ModelConfig | None = None):
-        """Inject parameters directly (testing / pre-converted checkpoints)."""
+        """Inject parameters directly (testing / pre-converted checkpoints).
+        Clears any use_mesh state: new params are unsharded, so mixing them
+        with mesh-sharded batches would fail — call use_mesh again after."""
+        self._reset_mesh()
         self._params = params
         if config is not None:
             self.config = config
@@ -256,8 +259,17 @@ class VCFProcessor:
     def cleanup(self):
         """Release model memory: drop the device param arrays and the cached
         jitted executables (reference variantprocessor.py:515-525 parity)."""
+        self._reset_mesh()
         self._params = None
         self._fwd_cache.clear()
+
+    def _reset_mesh(self):
+        """Undo use_mesh: restore the pre-mesh impl so a reloaded model runs
+        the fused kernels again, and stop sharding batches."""
+        if getattr(self, "_mesh", None) is not None:
+            self._mesh = None
+            self.impl = self._impl_before_mesh
+            self._fwd_cache.clear()
 
     def use_mesh(self, mesh=None):
         """Scale every flow (vcf2exp, VEP, sweeps) across a device mesh:
@@ -271,6 +283,7 @@ class VCFProcessor:
 
         assert self._params is not None, "call load_model()/set_params() first"
         mesh = mesh or make_mesh()
+        self._impl_before_mesh = self.impl
         if self.impl != "xla":
             log.info("use_mesh: impl %r -> 'xla' (kernels are single-chip)",
                      self.impl)

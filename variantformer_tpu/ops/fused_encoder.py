@@ -393,6 +393,9 @@ def fused_window_encoder_dual(
         ]
     )
 
+    # Packing runs per call as traced ops, which is fine at encoder scale
+    # (~40 MB of reshapes/pads, sub-ms) — unlike the 1.2 GB gene-modulator
+    # slabs, which MUST pack once at load (ops/fused_modulator.py).
     wa = _pack_weights(layers_a, num_heads, head_dim, lanes)
     wb_ = _pack_weights(layers_b, num_heads, head_dim, lanes)
     weights = [jnp.concatenate([a, b], axis=0) for a, b in zip(wa, wb_)]

@@ -75,22 +75,8 @@ def _read_block_header(fh) -> int | None:
     header = fh.read(12)
     if len(header) < 12:
         return None
-    if header[:4] != _BGZF_MAGIC:
-        raise ValueError("not a BGZF block")
     xlen = struct.unpack("<H", header[10:12])[0]
-    extra = fh.read(xlen)
-    pos = 0
-    bsize = None
-    while pos + 4 <= len(extra):
-        si1, si2, slen = extra[pos], extra[pos + 1], struct.unpack(
-            "<H", extra[pos + 2 : pos + 4]
-        )[0]
-        if si1 == 0x42 and si2 == 0x43 and slen == 2:
-            bsize = struct.unpack("<H", extra[pos + 4 : pos + 6])[0]
-        pos += 4 + slen
-    if bsize is None:
-        raise ValueError("BGZF block missing BC extra field")
-    return bsize + 1
+    return _block_size_from_header(header + fh.read(xlen))
 
 
 class BGZFReader:
