@@ -31,17 +31,44 @@ def save_checkpoint(path: str | Path, params, cfg: ModelConfig | None = None):
         (path / "config.json").write_text(json.dumps(_cfg_to_dict(cfg), indent=2))
 
 
-def load_checkpoint(path: str | Path, dtype=None):
+def load_checkpoint(path: str | Path, dtype=None, mesh=None):
+    """Restore (params, cfg). With ``mesh``, every leaf is restored DIRECTLY
+    onto its multi-chip sharding (parallel/mesh.py param_specs) — orbax reads
+    each device's shard from disk without materializing the full tree on one
+    host/device, which is what a >HBM-sized model needs."""
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
+    restore_args = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from variantformer_tpu.parallel.mesh import param_specs
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(path / "params").item_metadata.tree
+        shape_tree = jax.tree.map(lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta)
+        specs = param_specs(shape_tree)
+        restore_args = jax.tree.map(
+            lambda m, s: ocp.ArrayRestoreArgs(
+                sharding=NamedSharding(mesh, s),
+                dtype=(dtype or m.dtype),
+            ),
+            meta, specs,
+        )
     with ocp.PyTreeCheckpointer() as ckptr:
-        params = ckptr.restore(path / "params")
+        if restore_args is not None:
+            params = ckptr.restore(
+                path / "params",
+                args=ocp.args.PyTreeRestore(restore_args=restore_args),
+            )
+        else:
+            params = ckptr.restore(path / "params")
     cfg = None
     cfg_file = path / "config.json"
     if cfg_file.exists():
         cfg = _update(ModelConfig(), json.loads(cfg_file.read_text()))
-    if dtype is not None:
+    if dtype is not None and mesh is None:
         params = jax.tree.map(lambda x: jax.numpy.asarray(x, dtype), params)
     return params, cfg
 
