@@ -111,6 +111,128 @@ def test_train_step_reduces_loss_and_freezes_tokenizer():
     )
 
 
+def test_plateau_tracker_matches_torch():
+    """PlateauTracker reproduces torch ReduceLROnPlateau epoch-cadence
+    semantics (the reference's scheduler, seq2reg/model.py:503-510)."""
+    from variantformer_tpu.train.loop import PlateauTracker
+
+    values = [1.0, 0.9, 0.9, 0.9, 0.9, 0.89, 0.6, 0.61, 0.6, 0.6, 0.6, 0.59]
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", patience=2, factor=0.5, threshold=1e-4, min_lr=1e-3
+    )
+    ours = PlateauTracker(patience=2, factor=0.5, threshold=1e-4, min_scale=1e-3)
+    for v in values:
+        sched.step(v)
+        scale = ours.update(v)
+        assert scale == pytest.approx(opt.param_groups[0]["lr"]), (
+            f"diverged at value {v}"
+        )
+    assert ours.scale < 1.0  # the sequence plateaus twice
+
+
+def _write_seq2reg_shards(root, n_train=4, n_val=2, chunk=8, length=16, seed=0):
+    """Synthetic shards in Seq2RegShardWriter's npz schema: class-0 windows
+    get low token ids, class-1 high — learnable from the embeddings."""
+    rng = np.random.default_rng(seed)
+    for split, count in (("train", n_train), ("test", n_val)):
+        out = root / split
+        out.mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            labels = rng.integers(0, 2, chunk).astype(np.int32)
+            tokens = np.where(
+                labels[:, None] == 0,
+                rng.integers(4, 16, (chunk, length)),
+                rng.integers(16, 28, (chunk, length)),
+            ).astype(np.int32)
+            np.savez(
+                out / f"S1_liver_chr1_chunk_{i}.npz",
+                subject=np.array("S1"),
+                tissue=np.array("liver"),
+                tokens=tokens,
+                tok_len=np.full(chunk, length, np.int32),
+                ref_class=np.zeros(chunk, np.int32),
+                tissue_class=labels,
+                majority_class=labels,
+                start=np.arange(chunk, dtype=np.int64),
+                end=np.arange(chunk, dtype=np.int64) + 100,
+            )
+
+
+def test_fit_seq2reg_end_to_end(tmp_path):
+    """The fit loop trains a tiny window classifier from npz shards: loss
+    drops, checkpoints land, and resume continues exactly where it left off
+    (Lightning-Trainer semantics, SURVEY §3.5)."""
+    from variantformer_tpu.config import ModelConfig, WindowEncoderConfig
+    from variantformer_tpu.models.init import init_window_encoder
+    from variantformer_tpu.train.loop import (
+        fit,
+        make_seq2reg_eval_loss,
+        seq2reg_shard_batches,
+    )
+    from variantformer_tpu.train.steps import TrainState, make_seq2reg_train_step
+
+    wcfg = WindowEncoderConfig(
+        vocab_size=32, embedding_dim=32, num_heads=4, num_layers=1,
+        ffn_hidden_dim=64, token_length=16, num_tissues=2, num_classes=2,
+    )
+    cfg = ModelConfig(window_encoder=wcfg)
+    _write_seq2reg_shards(tmp_path / "shards")
+
+    params = init_window_encoder(jax.random.key(0), wcfg)
+    tx = make_optimizer(params, learning_rate=3e-3, plateau="epoch")
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_seq2reg_train_step(cfg, tx)
+    vocab = {"liver": 1}
+    train_b = seq2reg_shard_batches(tmp_path / "shards", vocab)
+    val_b = seq2reg_shard_batches(
+        tmp_path / "shards", vocab, split="test", shuffle=False
+    )
+    eval_loss = make_seq2reg_eval_loss(cfg, val_b)
+
+    res = fit(
+        state, step, train_b, eval_loss=eval_loss, epochs=3,
+        ckpt_dir=tmp_path / "ckpt",
+    )
+    assert len(res.history) == 3
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert res.best_val == min(h["val_loss"] for h in res.history)
+
+    # Resume: a fresh state + fit(resume=True) picks up at epoch 3 and the
+    # restored params match what was saved (first new epoch continues the
+    # trained trajectory, not a re-init).
+    state2 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    res2 = fit(
+        state2, step, train_b, eval_loss=eval_loss, epochs=5,
+        ckpt_dir=tmp_path / "ckpt", resume=True,
+    )
+    assert [h["epoch"] for h in res2.history] == [0, 1, 2, 3, 4]
+    assert res2.history[:3] == res.history
+    assert res2.history[3]["train_loss"] < res.history[0]["train_loss"]
+    assert int(res2.state.step) == 5 * 4  # 4 train shards per epoch
+
+
+def test_fit_early_stop(tmp_path):
+    """Early stopping halts after patience epochs without val improvement."""
+    from variantformer_tpu.train.loop import fit
+    from variantformer_tpu.train.steps import TrainState
+
+    state = TrainState({}, (), jnp.zeros((), jnp.int32))
+    vals = iter([1.0, 0.5, 0.6, 0.7, 0.8, 0.9, 0.9])
+    res = fit(
+        state,
+        lambda s, x, scale: (s, jnp.asarray(0.0)),
+        lambda epoch: [(np.zeros(1),)],
+        eval_loss=lambda s: next(vals),
+        epochs=7,
+        early_stop_patience=3,
+    )
+    assert len(res.history) == 5  # stops at epoch 4 (best was epoch 1)
+    assert res.best_epoch == 1
+
+
 def test_remat_matches_and_trains():
     """jax.checkpoint-wrapped layer scans: identical forward, working grads."""
     import dataclasses

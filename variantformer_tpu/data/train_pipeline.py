@@ -258,6 +258,8 @@ class Seq2RegShardWriter:
                     path = out / f"{subject}_{tissue}_{chrom}_chunk_{ci}.npz"
                     np.savez_compressed(
                         path,
+                        subject=np.array(subject),
+                        tissue=np.array(tissue),
                         tokens=toks,
                         tok_len=lens,
                         ref_class=chunk["cCRE"].map(to_idx).to_numpy(np.int32),

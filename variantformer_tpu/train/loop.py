@@ -1,0 +1,291 @@
+"""Epoch-level training driver — the Lightning-Trainer counterpart.
+
+The reference trains Seq2Reg through ``pytorch_lightning.Trainer`` (fit
+loop, per-epoch validation, ``ReduceLROnPlateau`` stepped once per epoch on
+``val_loss``, checkpointing — seq2reg/model.py:304-353,451-517); the Seq2Gene
+release defines losses but ships no entry point. This module reconstructs
+that layer TPU-first:
+
+  * the jitted step functions (train/steps.py) stay pure; the loop is plain
+    Python around them — no tracing of data-dependent control flow,
+  * ``PlateauTracker`` reproduces torch ``ReduceLROnPlateau`` semantics
+    exactly (mode=min, relative threshold, patience in epochs, cooldown) and
+    feeds the resulting LR *scale* into the step as the optimizer's extra
+    ``value`` (build the optimizer with ``plateau="epoch"``),
+  * checkpoint/resume snapshots the FULL ``TrainState`` (params + optimizer
+    state + step) via orbax, with a JSON history sidecar; ``fit(resume=True)``
+    continues mid-run after preemption,
+  * shard-backed batch iterators consume the npz shards that
+    ``data/train_pipeline.py`` writes (fixed ``chunk_size`` rows per shard —
+    the static-shape contract: every step reuses one compiled executable).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Callable, Iterable, NamedTuple
+
+import jax
+import numpy as np
+
+from variantformer_tpu.train.steps import TrainState
+
+log = logging.getLogger(__name__)
+
+
+class PlateauTracker:
+    """torch ``ReduceLROnPlateau`` (mode="min", threshold_mode="rel"),
+    tracked in Python at epoch cadence. ``update(val_loss)`` returns the LR
+    scale to use for the NEXT epoch's steps.
+
+    Reference config: patience=2, factor=lr_scale, min_lr=1e-7
+    (seq2reg/model.py:503-510); ``min_scale`` expresses min_lr as a fraction
+    of the base LR.
+    """
+
+    def __init__(
+        self,
+        patience: int = 2,
+        factor: float = 0.5,
+        threshold: float = 1e-4,
+        cooldown: int = 0,
+        min_scale: float = 1e-3,
+    ):
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.cooldown = cooldown
+        self.min_scale = min_scale
+        self.best = float("inf")
+        self.num_bad = 0
+        self.cooldown_left = 0
+        self.scale = 1.0
+
+    def update(self, value: float) -> float:
+        if value < self.best * (1.0 - self.threshold):
+            self.best = value
+            self.num_bad = 0
+        elif self.cooldown_left > 0:
+            self.cooldown_left -= 1
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.cooldown_left = self.cooldown
+                self.num_bad = 0
+        return self.scale
+
+    def state_dict(self) -> dict:
+        return {
+            "best": self.best, "num_bad": self.num_bad,
+            "cooldown_left": self.cooldown_left, "scale": self.scale,
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = d["best"]
+        self.num_bad = d["num_bad"]
+        self.cooldown_left = d["cooldown_left"]
+        self.scale = d["scale"]
+
+
+def save_train_state(path: str | Path, state: TrainState) -> None:
+    """Snapshot the full TrainState (params + optimizer state + step)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    path.mkdir(parents=True, exist_ok=True)
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path / "state", tree, force=True)
+
+
+def load_train_state(path: str | Path, template: TrainState) -> TrainState:
+    """Restore into ``template``'s structure (a freshly-initialized
+    TrainState from the same config/optimizer) — optax's nested namedtuple
+    optimizer state round-trips exactly."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    tree = {"params": template.params, "opt_state": template.opt_state,
+            "step": template.step}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path / "state", item=tree)
+    return TrainState(
+        restored["params"], restored["opt_state"], restored["step"]
+    )
+
+
+class FitResult(NamedTuple):
+    state: TrainState
+    history: list[dict]      # per-epoch {epoch, train_loss, val_loss, lr_scale}
+    best_val: float
+    best_epoch: int
+
+
+def fit(
+    state: TrainState,
+    step_fn: Callable,
+    train_batches: Callable[[int], Iterable[tuple]],
+    *,
+    eval_loss: Callable[[TrainState], float] | None = None,
+    epochs: int = 1,
+    ckpt_dir: str | Path | None = None,
+    plateau: PlateauTracker | None = None,
+    early_stop_patience: int | None = None,
+    resume: bool = False,
+) -> FitResult:
+    """Run the fit loop.
+
+    Args:
+      state: initial TrainState (params + opt_state from the SAME optimizer
+        the step was built with; use ``make_optimizer(..., plateau="epoch")``
+        so the per-epoch LR scale applies).
+      step_fn: jitted ``(state, *batch, plateau_value) -> (state, loss)``
+        from train/steps.py.
+      train_batches: ``epoch -> iterable of step-arg tuples``. Called once
+        per epoch (reshuffle inside using the epoch as seed).
+      eval_loss: ``state -> float`` validation loss, computed once per epoch;
+        drives the plateau scheduler, best-checkpoint selection and early
+        stopping. Without it, the epoch's mean train loss is monitored
+        (the reference monitors val_loss).
+      epochs: total epochs (including any already completed when resuming).
+      ckpt_dir: when set, ``last/`` + ``history.json`` are written every
+        epoch and ``best/`` whenever the monitored loss improves.
+      plateau: per-epoch LR tracker; defaults to the reference's
+        ReduceLROnPlateau config (patience=2).
+      early_stop_patience: stop after this many epochs without improvement
+        (None = never).
+      resume: restore ``ckpt_dir/last`` + history and continue.
+    """
+    plateau = plateau or PlateauTracker()
+    history: list[dict] = []
+    best_val = float("inf")
+    best_epoch = -1
+    start_epoch = 0
+
+    if ckpt_dir is not None:
+        ckpt_dir = Path(ckpt_dir).absolute()
+    if resume:
+        if ckpt_dir is None:
+            raise ValueError("resume=True requires ckpt_dir")
+        hist_file = ckpt_dir / "history.json"
+        if hist_file.exists():
+            saved = json.loads(hist_file.read_text())
+            history = saved["epochs"]
+            best_val = saved["best_val"]
+            best_epoch = saved["best_epoch"]
+            plateau.load_state_dict(saved["plateau"])
+            start_epoch = len(history)
+            state = load_train_state(ckpt_dir / "last", state)
+            log.info("resumed at epoch %d (best_val=%.4g)", start_epoch, best_val)
+
+    def _save(epoch_done: int) -> None:
+        if ckpt_dir is None:
+            return
+        save_train_state(ckpt_dir / "last", state)
+        (ckpt_dir / "history.json").write_text(json.dumps({
+            "epochs": history, "best_val": best_val,
+            "best_epoch": best_epoch, "plateau": plateau.state_dict(),
+        }, indent=2))
+
+    for epoch in range(start_epoch, epochs):
+        lr_scale = plateau.scale
+        losses = []
+        for batch in train_batches(epoch):
+            state, loss = step_fn(state, *batch, lr_scale)
+            losses.append(loss)
+        train_loss = float(np.mean([np.asarray(l) for l in losses]))
+        val = float(eval_loss(state)) if eval_loss is not None else train_loss
+        plateau.update(val)
+        history.append({
+            "epoch": epoch, "train_loss": train_loss, "val_loss": val,
+            "lr_scale": lr_scale,
+        })
+        improved = val < best_val
+        if improved:
+            best_val, best_epoch = val, epoch
+        _save(epoch)
+        if improved and ckpt_dir is not None:
+            save_train_state(ckpt_dir / "best", state)
+        log.info(
+            "epoch %d: train %.4g val %.4g lr_scale %.3g%s",
+            epoch, train_loss, val, lr_scale, " *best*" if improved else "",
+        )
+        if (
+            early_stop_patience is not None
+            and epoch - best_epoch >= early_stop_patience
+        ):
+            log.info("early stop at epoch %d (best epoch %d)", epoch, best_epoch)
+            break
+
+    return FitResult(state, history, best_val, best_epoch)
+
+
+def seq2reg_shard_batches(
+    shard_dir: str | Path,
+    tissue_vocab: dict[str, int],
+    *,
+    split: str = "train",
+    label_key: str = "tissue_class",
+    shuffle: bool = True,
+) -> Callable[[int], Iterable[tuple]]:
+    """Batch iterator over ``data/train_pipeline.Seq2RegShardWriter`` output.
+
+    Each npz shard is one fixed-size step batch (tokens, tok_len, context,
+    tissue_ids, labels): ``context`` is the reference cCRE class of each
+    window (the model's context-embedding input) and ``labels`` the
+    tissue-specific class to predict — the reference training pairing
+    (seq2reg/model.py:304-318). Shard order reshuffles every epoch.
+    """
+    shard_dir = Path(shard_dir)
+    files = sorted((shard_dir / split).glob("*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no shards under {shard_dir / split}")
+
+    def batches(epoch: int):
+        order = np.arange(len(files))
+        if shuffle:
+            np.random.default_rng(epoch).shuffle(order)
+        for i in order:
+            z = np.load(files[i])
+            tissue = str(z["tissue"])
+            tid = tissue_vocab[tissue]
+            n = z["tokens"].shape[0]
+            yield (
+                z["tokens"].astype(np.int32),
+                z["tok_len"].astype(np.int32),
+                z["ref_class"].astype(np.int32),
+                np.full((n,), tid, np.int32),
+                z[label_key].astype(np.int32),
+            )
+
+    return batches
+
+
+def make_seq2reg_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
+    """Mean validation loss over one pass of ``batches_fn(0)`` (use
+    ``seq2reg_shard_batches(..., split="test", shuffle=False)``)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from variantformer_tpu.train.steps import seq2reg_loss_fn
+
+    @functools.partial(jax.jit, static_argnames=())
+    def one(params, tokens, tok_len, context, tissue_ids, labels):
+        loss, _ = seq2reg_loss_fn(
+            params, tokens, tok_len, context, tissue_ids, labels, cfg
+        )
+        return loss
+
+    def eval_loss(state: TrainState) -> float:
+        vals = [
+            np.asarray(one(state.params, *b), dtype=np.float64)
+            for b in batches_fn(0)
+        ]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    return eval_loss

@@ -54,6 +54,23 @@ def trainable_mask(params, train_gene_tokenizer: bool = True):
     return jax.tree_util.tree_map_with_path(is_trainable, params)
 
 
+def scale_by_extra_value():
+    """Stateless GradientTransformationExtraArgs: multiply updates by the
+    step's ``value`` extra arg. ``train.loop.fit`` uses this hook to apply
+    per-EPOCH ReduceLROnPlateau scaling (the reference's cadence —
+    ``scheduler.step(val_loss)`` once per epoch, seq2reg/model.py:503-517)
+    from outside the jitted step: the tracker runs in Python, the scale
+    rides in as a scalar."""
+
+    def update(updates, state, params=None, *, value, **extra):
+        del params, extra
+        return jax.tree.map(lambda u: u * value, updates), state
+
+    return optax.GradientTransformationExtraArgs(
+        lambda params: optax.EmptyState(), update
+    )
+
+
 def make_optimizer(
     params,
     learning_rate: float = 1e-4,
@@ -63,10 +80,19 @@ def make_optimizer(
     plateau_patience: int = 2,
     plateau_factor: float = 0.5,
     min_scale: float = 1e-3,
+    plateau: str = "step",
 ):
-    """Returns an optax GradientTransformationExtraArgs; pass ``value=`` (the
-    monitored validation loss) to ``update`` for plateau scheduling."""
+    """Returns an optax GradientTransformationExtraArgs; ``update`` takes a
+    ``value=`` extra arg whose meaning depends on ``plateau``:
+
+      * ``"step"`` (default): ``value`` is the monitored loss, fed to
+        ``optax.contrib.reduce_on_plateau`` — patience counts *steps*,
+      * ``"epoch"``: ``value`` is an LR *scale* computed by the caller
+        (``train.loop.PlateauTracker`` reproduces torch ReduceLROnPlateau's
+        per-epoch semantics exactly); pass 1.0 for no scaling.
+    """
     assert optimizer in ("adam", "adamw")
+    assert plateau in ("step", "epoch")
     if optimizer == "adamw" or weight_decay:
         base = optax.chain(
             optax.scale_by_adam(),
@@ -77,12 +103,16 @@ def make_optimizer(
         base = optax.adam(learning_rate)
     trainable = trainable_mask(params, train_gene_tokenizer)
     frozen = jax.tree.map(lambda t: not t, trainable)
-    return optax.chain(
-        optax.masked(optax.set_to_zero(), frozen),  # hard-freeze tokenizers
-        optax.masked(base, trainable),
-        optax.contrib.reduce_on_plateau(
+    if plateau == "epoch":
+        tail = scale_by_extra_value()
+    else:
+        tail = optax.contrib.reduce_on_plateau(
             patience=plateau_patience,
             factor=plateau_factor,
             min_scale=min_scale,
-        ),
+        )
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen),  # hard-freeze tokenizers
+        optax.masked(base, trainable),
+        tail,
     )

@@ -93,13 +93,17 @@ def seq2reg_loss_fn(
 
 def make_seq2reg_train_step(cfg: ModelConfig, tx, **loss_kwargs):
     @jax.jit
-    def step(state: TrainState, tokens, tok_len, context, tissue_ids, labels):
+    def step(
+        state: TrainState, tokens, tok_len, context, tissue_ids, labels,
+        plateau_value=None,
+    ):
         (loss, _), grads = jax.value_and_grad(seq2reg_loss_fn, has_aux=True)(
             state.params, tokens, tok_len, context, tissue_ids, labels, cfg,
             **loss_kwargs,
         )
+        value = loss if plateau_value is None else plateau_value
         updates, opt_state = tx.update(
-            grads, state.opt_state, state.params, value=loss
+            grads, state.opt_state, state.params, value=value
         )
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
