@@ -77,6 +77,59 @@ def test_sharded_forward_matches_single_device():
         )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_sharded_train_step_matches_single_device():
+    """DP+TP TRAINING parity: two optimizer steps on the 2x4 mesh must
+    reproduce the single-device trajectory (loss and updated params) — the
+    gradient all-reduce over "data" and the TP collectives over "model" are
+    inserted by GSPMD from the shardings alone."""
+    import jax.numpy as jnp
+
+    from variantformer_tpu.train.optimizer import make_optimizer
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    cfg = _near_real_cfg()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = _example_batch(d=4, c=12, g=6, length=12, t=5, vocab=64)
+    rng = np.random.default_rng(3)
+    targets = jnp.asarray(rng.uniform(0, 3, (4, 5)), jnp.float32)
+    mask = jnp.ones((4, 5), bool)
+
+    tx = make_optimizer(
+        params, learning_rate=1e-3, weight_decay=0.01, optimizer="adamw",
+        plateau="epoch",
+    )
+    step = make_seq2gene_train_step(cfg, tx)
+
+    def run_two(state, batch, targets, mask):
+        losses = []
+        for _ in range(2):
+            state, loss = step(state, batch, targets, mask, 1.0)
+            losses.append(float(loss))
+        return state, losses
+
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    single, losses_single = run_two(state, batch, targets, mask)
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    sharded, losses_sharded = run_two(
+        pmesh.shard_train_state(state, m),
+        pmesh.shard_batch(batch, m),
+        pmesh.shard_targets(targets, m),
+        pmesh.shard_targets(mask, m),
+    )
+
+    np.testing.assert_allclose(losses_sharded, losses_single, rtol=2e-5)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(single.params)
+    flat_m = jax.tree.leaves(sharded.params)
+    for (path, a), b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -101,6 +101,33 @@ def shard_batch(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
     return Seq2GeneBatch(**vals)
 
 
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState onto the mesh for DP+TP training: params follow
+    ``param_specs``; optimizer-state leaves mirror the params tree (adam
+    mu/nu etc. keep their param's sharding — ``param_specs`` keys off the
+    trailing two path names, which the optax subtrees preserve), scalars
+    replicate. The jitted train step then runs under GSPMD: XLA inserts the
+    gradient all-reduce over "data" and the TP collectives over "model"
+    from these shardings alone."""
+    from variantformer_tpu.train.steps import TrainState
+
+    params = shard_params(state.params, mesh)
+    opt_state = jax.tree.map(
+        lambda x, s: jax.device_put(jax.numpy.asarray(x), NamedSharding(mesh, s)),
+        state.opt_state,
+        param_specs(jax.tree.map(jax.numpy.asarray, state.opt_state)),
+    )
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return TrainState(params, opt_state, step)
+
+
+def shard_targets(targets, mesh: Mesh):
+    """[D, ...] per-donor training targets/masks shard over "data"."""
+    return jax.device_put(
+        targets, NamedSharding(mesh, P("data", *([None] * (targets.ndim - 1))))
+    )
+
+
 def sharded_forward(cfg, mesh: Mesh, impl: str = "xla"):
     """jit-compiled seq2gene forward with explicit input shardings."""
     from variantformer_tpu.models.seq2gene import seq2gene_forward
