@@ -214,6 +214,58 @@ def test_fit_seq2reg_end_to_end(tmp_path):
     assert int(res2.state.step) == 5 * 4  # 4 train shards per epoch
 
 
+def test_fit_seq2gene_from_shards(tmp_path):
+    """seq2gene expression training from TrainingShardWriter-format npz
+    shards: sparse per-shard (tissue, expression) labels become dense
+    masked targets, short batches pad with zeroed masks, loss drops."""
+    from tests.test_model_smoke import tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.train.loop import (
+        fit,
+        make_seq2gene_eval_loss,
+        seq2gene_shard_batches,
+    )
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        c, g, l = 4 + i % 2, 3, 8
+        np.savez(
+            tmp_path / f"GENE{i}.1__D1.npz",
+            cre_tokens=rng.integers(4, 32, (c, l)).astype(np.int32),
+            cre_tok_len=np.full(c, l, np.int32),
+            cre_labels=rng.integers(0, 9, c).astype(np.int32),
+            gene_tokens=rng.integers(4, 32, (g, l)).astype(np.int32),
+            gene_tok_len=np.full(g, l, np.int32),
+            strand=np.int32(i % 2),
+            tissue_ids=np.asarray([0, 2], np.int32),
+            targets=np.asarray([1.0 + i, 0.5], np.float32),
+        )
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    tx = make_optimizer(params, learning_rate=3e-3, plateau="epoch")
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_seq2gene_train_step(cfg, tx)
+    tissues = [0, 1, 2]
+    train_b = seq2gene_shard_batches(tmp_path, tissues, batch_size=2)
+
+    # tissue 1 has no labels anywhere -> fully masked column
+    batch0, tgt0, msk0 = next(iter(train_b(0)))
+    assert tgt0.shape == (2, 3) and not bool(msk0[:, 1].any())
+    assert batch0.cre_tokens.shape[0] == 2
+
+    res = fit(
+        state, step, train_b,
+        eval_loss=make_seq2gene_eval_loss(
+            cfg, seq2gene_shard_batches(tmp_path, tissues, batch_size=2,
+                                        shuffle=False)
+        ),
+        epochs=4,
+    )
+    assert res.history[-1]["val_loss"] < res.history[0]["val_loss"]
+
+
 def test_fit_early_stop(tmp_path):
     """Early stopping halts after patience epochs without val improvement."""
     from variantformer_tpu.train.loop import fit

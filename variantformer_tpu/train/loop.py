@@ -265,6 +265,97 @@ def seq2reg_shard_batches(
     return batches
 
 
+def seq2gene_shard_batches(
+    shard_dir: str | Path,
+    tissue_ids: list[int],
+    *,
+    batch_size: int = 1,
+    shuffle: bool = True,
+    bucket_step: int = 64,
+    gene_cap: int | None = 200,
+) -> Callable[[int], Iterable[tuple]]:
+    """Batch iterator over ``data/train_pipeline.TrainingShardWriter``
+    output for the seq2gene train step: yields ``(Seq2GeneBatch, targets,
+    target_mask)``. Every donor is scored against the same ``tissue_ids``
+    vector (the model fans each donor out across tissues); the per-shard
+    sparse (tissue, expression) labels fill ``targets`` where present and
+    the mask elsewhere. Short final batches pad by repeating the last
+    sample with a zeroed mask, so every step reuses one compiled
+    executable per bucket shape (choose ``bucket_step`` ≥ the CRE-count
+    spread to stay on a single shape)."""
+    import jax.numpy as jnp
+
+    from variantformer_tpu.data.pipeline import GeneSample, pack_samples
+
+    shard_dir = Path(shard_dir)
+    files = sorted(shard_dir.glob("*__*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no seq2gene shards under {shard_dir}")
+    tissue_arr = np.asarray(tissue_ids, np.int32)
+    pos = {int(t): i for i, t in enumerate(tissue_arr)}
+
+    def _load(path: Path) -> tuple[GeneSample, np.ndarray, np.ndarray]:
+        z = np.load(path)
+        gene_id = path.stem.split("__")[0]
+        sample = GeneSample(
+            gene_id=gene_id,
+            strand="+" if int(z["strand"]) == 0 else "-",
+            cre_tokens=z["cre_tokens"].astype(np.int32),
+            cre_tok_len=z["cre_tok_len"].astype(np.int32),
+            cre_labels=z["cre_labels"].astype(np.int32),
+            gene_tokens=z["gene_tokens"].astype(np.int32),
+            gene_tok_len=z["gene_tok_len"].astype(np.int32),
+        )
+        tgt = np.zeros((len(tissue_arr),), np.float32)
+        msk = np.zeros((len(tissue_arr),), bool)
+        for tid, val in zip(z["tissue_ids"], z["targets"]):
+            i = pos.get(int(tid))
+            if i is not None:
+                tgt[i] = val
+                msk[i] = True
+        return sample, tgt, msk
+
+    def batches(epoch: int):
+        order = np.arange(len(files))
+        if shuffle:
+            np.random.default_rng(epoch).shuffle(order)
+        for lo in range(0, len(order), batch_size):
+            idx = list(order[lo : lo + batch_size])
+            pad = batch_size - len(idx)
+            loaded = [_load(files[i]) for i in idx]
+            if pad:
+                sample, tgt, _ = loaded[-1]
+                loaded += [(sample, tgt, np.zeros_like(tgt, bool))] * pad
+            samples = [s for s, _, _ in loaded]
+            targets = np.stack([t for _, t, _ in loaded])
+            mask = np.stack([m for _, _, m in loaded])
+            batch = pack_samples(
+                samples, tissue_ids=list(tissue_arr),
+                bucket_step=bucket_step, gene_cap=gene_cap,
+            )
+            yield (batch, jnp.asarray(targets), jnp.asarray(mask))
+
+    return batches
+
+
+def make_seq2gene_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
+    """Mean validation loss over one pass of ``batches_fn(0)``."""
+    from variantformer_tpu.train.steps import seq2gene_loss_fn
+
+    @jax.jit
+    def one(params, batch, targets, mask):
+        return seq2gene_loss_fn(params, batch, targets, mask, cfg)
+
+    def eval_loss(state: TrainState) -> float:
+        vals = [
+            np.asarray(one(state.params, *b), dtype=np.float64)
+            for b in batches_fn(0)
+        ]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    return eval_loss
+
+
 def make_seq2reg_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
     """Mean validation loss over one pass of ``batches_fn(0)`` (use
     ``seq2reg_shard_batches(..., split="test", shuffle=False)``)."""
