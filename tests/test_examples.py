@@ -22,6 +22,7 @@ def _examples_on_path(monkeypatch, tmp_path):
     )
     yield
     for mod in ("vcf2exp", "variant2exp", "vcf2risk", "vcf2embed", "eqtl_analysis",
+                "finetune_seq2gene",
                 "snp_indel_predictions", "variant2risk", "_common"):
         sys.modules.pop(mod, None)
 
@@ -75,6 +76,14 @@ def test_variant2risk_example():
     out = variant2risk.main()
     assert {"risk_no_edit", "risk_hom_edit", "delta"} <= set(out.columns)
     assert len(out) >= 1
+
+
+def test_finetune_example(tmp_path):
+    import finetune_seq2gene
+
+    res, out = finetune_seq2gene.main(str(tmp_path / "ft"))
+    assert res.history[-1]["val_loss"] < res.history[0]["val_loss"]
+    assert len(out) == 2
 
 
 def test_vcf2exp_notebook_executes(tmp_path):
