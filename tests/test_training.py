@@ -266,6 +266,56 @@ def test_fit_seq2gene_from_shards(tmp_path):
     assert res.history[-1]["val_loss"] < res.history[0]["val_loss"]
 
 
+def test_fit_on_mesh_matches_unmeshed(tmp_path):
+    """fit(mesh=...) — DP+TP training in one flag — reproduces the
+    single-device loss trajectory (needs the 8-device CPU mesh; batch size
+    must be a multiple of the data axis)."""
+    from tests.test_model_smoke import tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.parallel import mesh as pmesh
+    from variantformer_tpu.train.loop import fit, seq2gene_shard_batches
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        c, g, l = 4, 3, 8
+        np.savez(
+            tmp_path / f"GENE{i}.1__D1.npz",
+            cre_tokens=rng.integers(4, 32, (c, l)).astype(np.int32),
+            cre_tok_len=np.full(c, l, np.int32),
+            cre_labels=rng.integers(0, 9, c).astype(np.int32),
+            gene_tokens=rng.integers(4, 32, (g, l)).astype(np.int32),
+            gene_tok_len=np.full(g, l, np.int32),
+            strand=np.int32(0),
+            tissue_ids=np.asarray([0, 2], np.int32),
+            targets=np.asarray([1.0 + i, 0.5], np.float32),
+        )
+
+    import dataclasses
+
+    cfg = tiny_config()
+    # 4 heads on a 4-way model axis; f32 so trajectories compare tightly
+    from variantformer_tpu.config import PrecisionPolicy
+
+    cfg = dataclasses.replace(cfg, precision=PrecisionPolicy(compute_dtype="float32"))
+    params = init_seq2gene(jax.random.key(0), cfg)
+    tx = make_optimizer(params, learning_rate=1e-3, plateau="epoch")
+    step = make_seq2gene_train_step(cfg, tx)
+    batches = lambda: seq2gene_shard_batches(tmp_path, [0, 1, 2], batch_size=2)
+
+    def run(mesh):
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        return fit(state, step, batches(), epochs=2, mesh=mesh)
+
+    base = run(None)
+    meshed = run(pmesh.make_mesh(devices=jax.devices()[:8]))
+    for a, b in zip(base.history, meshed.history):
+        assert b["train_loss"] == pytest.approx(a["train_loss"], rel=2e-5)
+
+
 def test_fit_early_stop(tmp_path):
     """Early stopping halts after patience epochs without val improvement."""
     from variantformer_tpu.train.loop import fit

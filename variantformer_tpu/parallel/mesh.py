@@ -128,6 +128,21 @@ def shard_targets(targets, mesh: Mesh):
     )
 
 
+def shard_step_args(args: tuple, mesh: Mesh) -> tuple:
+    """Shard one train-step arg tuple: Seq2GeneBatch fields follow
+    ``batch_specs``; bare arrays are per-donor/per-window leading-dim data
+    and shard over "data"; python scalars (plateau value) pass through."""
+    out = []
+    for a in args:
+        if isinstance(a, Seq2GeneBatch):
+            out.append(shard_batch(a, mesh))
+        elif getattr(a, "ndim", 0) >= 1:
+            out.append(shard_targets(a, mesh))
+        else:
+            out.append(a)
+    return tuple(out)
+
+
 def sharded_forward(cfg, mesh: Mesh, impl: str = "xla"):
     """jit-compiled seq2gene forward with explicit input shardings."""
     from variantformer_tpu.models.seq2gene import seq2gene_forward

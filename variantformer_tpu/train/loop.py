@@ -136,6 +136,7 @@ def fit(
     plateau: PlateauTracker | None = None,
     early_stop_patience: int | None = None,
     resume: bool = False,
+    mesh=None,
 ) -> FitResult:
     """Run the fit loop.
 
@@ -159,6 +160,10 @@ def fit(
       early_stop_patience: stop after this many epochs without improvement
         (None = never).
       resume: restore ``ckpt_dir/last`` + history and continue.
+      mesh: a ``jax.sharding.Mesh`` — DP+TP training in one flag: the
+        TrainState is placed via ``parallel.mesh.shard_train_state`` (after
+        any resume restore) and every batch tuple via ``shard_step_args``;
+        GSPMD inserts the gradient all-reduce and TP collectives.
     """
     plateau = plateau or PlateauTracker()
     history: list[dict] = []
@@ -182,6 +187,11 @@ def fit(
             state = load_train_state(ckpt_dir / "last", state)
             log.info("resumed at epoch %d (best_val=%.4g)", start_epoch, best_val)
 
+    if mesh is not None:
+        from variantformer_tpu.parallel.mesh import shard_step_args, shard_train_state
+
+        state = shard_train_state(state, mesh)
+
     def _save(epoch_done: int) -> None:
         if ckpt_dir is None:
             return
@@ -195,6 +205,8 @@ def fit(
         lr_scale = plateau.scale
         losses = []
         for batch in train_batches(epoch):
+            if mesh is not None:
+                batch = shard_step_args(tuple(batch), mesh)
             state, loss = step_fn(state, *batch, lr_scale)
             losses.append(loss)
         train_loss = float(np.mean([np.asarray(l) for l in losses]))
