@@ -83,7 +83,7 @@ def test_train_step_reduces_loss_and_freezes_tokenizer():
     params = init_seq2gene(jax.random.key(0), cfg)
     tx = make_optimizer(
         params, learning_rate=3e-3, weight_decay=0.01, optimizer="adamw",
-        train_gene_tokenizer=False,
+        train_gene_tokenizer=False, plateau="step",  # streaming plateau mode
     )
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     step = make_seq2gene_train_step(cfg, tx)
@@ -117,18 +117,26 @@ def test_plateau_tracker_matches_torch():
     from variantformer_tpu.train.loop import PlateauTracker
 
     values = [1.0, 0.9, 0.9, 0.9, 0.9, 0.89, 0.6, 0.61, 0.6, 0.6, 0.6, 0.59]
-    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
-    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
-        opt, mode="min", patience=2, factor=0.5, threshold=1e-4, min_lr=1e-3
-    )
-    ours = PlateauTracker(patience=2, factor=0.5, threshold=1e-4, min_scale=1e-3)
-    for v in values:
-        sched.step(v)
-        scale = ours.update(v)
-        assert scale == pytest.approx(opt.param_groups[0]["lr"]), (
-            f"diverged at value {v}"
+    # second sequence exercises cooldown semantics: improvements DURING the
+    # cooldown window must not freeze the countdown
+    values_cd = [1.0, 0.9, 0.9, 0.9, 0.9, 0.85, 0.84, 0.9, 0.9, 0.9, 0.9, 0.9]
+    for vals, cooldown in ((values, 0), (values_cd, 2)):
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", patience=2, factor=0.5, threshold=1e-4,
+            min_lr=1e-3, cooldown=cooldown,
         )
-    assert ours.scale < 1.0  # the sequence plateaus twice
+        ours = PlateauTracker(
+            patience=2, factor=0.5, threshold=1e-4, min_scale=1e-3,
+            cooldown=cooldown,
+        )
+        for v in vals:
+            sched.step(v)
+            scale = ours.update(v)
+            assert scale == pytest.approx(opt.param_groups[0]["lr"]), (
+                f"diverged at value {v} (cooldown={cooldown})"
+            )
+        assert ours.scale < 1.0  # each sequence plateaus
 
 
 def _write_seq2reg_shards(root, n_train=4, n_val=2, chunk=8, length=16, seed=0):

@@ -112,10 +112,12 @@ def shard_train_state(state, mesh: Mesh):
     from variantformer_tpu.train.steps import TrainState
 
     params = shard_params(state.params, mesh)
+    # param_specs only reads leaf .ndim and device_put takes numpy or jax
+    # arrays directly — no intermediate full copy on the default device.
     opt_state = jax.tree.map(
-        lambda x, s: jax.device_put(jax.numpy.asarray(x), NamedSharding(mesh, s)),
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         state.opt_state,
-        param_specs(jax.tree.map(jax.numpy.asarray, state.opt_state)),
+        param_specs(state.opt_state),
     )
     step = jax.device_put(state.step, NamedSharding(mesh, P()))
     return TrainState(params, opt_state, step)

@@ -64,17 +64,21 @@ class PlateauTracker:
         self.scale = 1.0
 
     def update(self, value: float) -> float:
+        # torch order of operations: track best/bad first, then the cooldown
+        # counter decrements on EVERY epoch while active (suppressing bad
+        # counts), then the reduction check.
         if value < self.best * (1.0 - self.threshold):
             self.best = value
             self.num_bad = 0
-        elif self.cooldown_left > 0:
-            self.cooldown_left -= 1
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.scale = max(self.scale * self.factor, self.min_scale)
-                self.cooldown_left = self.cooldown
-                self.num_bad = 0
+        if self.cooldown_left > 0:
+            self.cooldown_left -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.cooldown_left = self.cooldown
+            self.num_bad = 0
         return self.scale
 
     def state_dict(self) -> dict:
@@ -192,7 +196,7 @@ def fit(
 
         state = shard_train_state(state, mesh)
 
-    def _save(epoch_done: int) -> None:
+    def _save() -> None:
         if ckpt_dir is None:
             return
         save_train_state(ckpt_dir / "last", state)
@@ -202,6 +206,18 @@ def fit(
         }, indent=2))
 
     for epoch in range(start_epoch, epochs):
+        # checked at the top so a resumed run that already early-stopped
+        # does not train (and checkpoint) one extra epoch
+        if (
+            early_stop_patience is not None
+            and best_epoch >= 0
+            and len(history) - 1 - best_epoch >= early_stop_patience
+        ):
+            log.info(
+                "early stop at epoch %d (best epoch %d)",
+                len(history) - 1, best_epoch,
+            )
+            break
         lr_scale = plateau.scale
         losses = []
         for batch in train_batches(epoch):
@@ -209,6 +225,8 @@ def fit(
                 batch = shard_step_args(tuple(batch), mesh)
             state, loss = step_fn(state, *batch, lr_scale)
             losses.append(loss)
+        if not losses:
+            raise ValueError(f"train_batches({epoch}) yielded no batches")
         train_loss = float(np.mean([np.asarray(l) for l in losses]))
         val = float(eval_loss(state)) if eval_loss is not None else train_loss
         plateau.update(val)
@@ -219,19 +237,13 @@ def fit(
         improved = val < best_val
         if improved:
             best_val, best_epoch = val, epoch
-        _save(epoch)
+        _save()
         if improved and ckpt_dir is not None:
             save_train_state(ckpt_dir / "best", state)
         log.info(
             "epoch %d: train %.4g val %.4g lr_scale %.3g%s",
             epoch, train_loss, val, lr_scale, " *best*" if improved else "",
         )
-        if (
-            early_stop_patience is not None
-            and epoch - best_epoch >= early_stop_patience
-        ):
-            log.info("early stop at epoch %d (best epoch %d)", epoch, best_epoch)
-            break
 
     return FitResult(state, history, best_val, best_epoch)
 
@@ -263,7 +275,10 @@ def seq2reg_shard_batches(
             np.random.default_rng(epoch).shuffle(order)
         for i in order:
             z = np.load(files[i])
-            tissue = str(z["tissue"])
+            if "tissue" in z.files:
+                tissue = str(z["tissue"])
+            else:  # older shards: recover from {subject}_{tissue}_... name
+                tissue = files[i].stem.split("_")[1]
             tid = tissue_vocab[tissue]
             n = z["tokens"].shape[0]
             yield (
@@ -350,6 +365,21 @@ def seq2gene_shard_batches(
     return batches
 
 
+def _mean_eval_loss(one, batches_fn) -> Callable[[TrainState], float]:
+    """state -> mean of the jitted per-batch loss over ``batches_fn(0)``."""
+
+    def eval_loss(state: TrainState) -> float:
+        vals = [
+            np.asarray(one(state.params, *b), dtype=np.float64)
+            for b in batches_fn(0)
+        ]
+        if not vals:
+            raise ValueError("eval batches yielded nothing")
+        return float(np.mean(vals))
+
+    return eval_loss
+
+
 def make_seq2gene_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
     """Mean validation loss over one pass of ``batches_fn(0)``."""
     from variantformer_tpu.train.steps import seq2gene_loss_fn
@@ -358,37 +388,19 @@ def make_seq2gene_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
     def one(params, batch, targets, mask):
         return seq2gene_loss_fn(params, batch, targets, mask, cfg)
 
-    def eval_loss(state: TrainState) -> float:
-        vals = [
-            np.asarray(one(state.params, *b), dtype=np.float64)
-            for b in batches_fn(0)
-        ]
-        return float(np.mean(vals)) if vals else float("nan")
-
-    return eval_loss
+    return _mean_eval_loss(one, batches_fn)
 
 
 def make_seq2reg_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
     """Mean validation loss over one pass of ``batches_fn(0)`` (use
     ``seq2reg_shard_batches(..., split="test", shuffle=False)``)."""
-    import functools
-
-    import jax.numpy as jnp
-
     from variantformer_tpu.train.steps import seq2reg_loss_fn
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def one(params, tokens, tok_len, context, tissue_ids, labels):
         loss, _ = seq2reg_loss_fn(
             params, tokens, tok_len, context, tissue_ids, labels, cfg
         )
         return loss
 
-    def eval_loss(state: TrainState) -> float:
-        vals = [
-            np.asarray(one(state.params, *b), dtype=np.float64)
-            for b in batches_fn(0)
-        ]
-        return float(np.mean(vals)) if vals else float("nan")
-
-    return eval_loss
+    return _mean_eval_loss(one, batches_fn)

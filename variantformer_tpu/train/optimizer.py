@@ -80,16 +80,21 @@ def make_optimizer(
     plateau_patience: int = 2,
     plateau_factor: float = 0.5,
     min_scale: float = 1e-3,
-    plateau: str = "step",
+    plateau: str = "epoch",
 ):
     """Returns an optax GradientTransformationExtraArgs; ``update`` takes a
     ``value=`` extra arg whose meaning depends on ``plateau``:
 
-      * ``"step"`` (default): ``value`` is the monitored loss, fed to
-        ``optax.contrib.reduce_on_plateau`` — patience counts *steps*,
-      * ``"epoch"``: ``value`` is an LR *scale* computed by the caller
+      * ``"epoch"`` (default — what ``train.loop.fit`` assumes): ``value``
+        is an LR *scale* computed by the caller per epoch
         (``train.loop.PlateauTracker`` reproduces torch ReduceLROnPlateau's
-        per-epoch semantics exactly); pass 1.0 for no scaling.
+        semantics exactly); omitting it / passing 1.0 means no scaling,
+      * ``"step"``: ``value`` is the monitored loss, fed to
+        ``optax.contrib.reduce_on_plateau`` — patience counts *steps*, for
+        streaming use outside the epoch loop. Do NOT combine with
+        ``fit`` (which passes a ~1.0 scale as ``value``; reduce_on_plateau
+        would read that as a never-improving loss and decay the LR to
+        ``min_scale`` within patience*steps).
     """
     assert optimizer in ("adam", "adamw")
     assert plateau in ("step", "epoch")

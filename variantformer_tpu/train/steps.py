@@ -48,12 +48,16 @@ def seq2gene_loss_fn(
 
 def make_seq2gene_train_step(cfg: ModelConfig, tx: optax.GradientTransformation):
     @jax.jit
-    def step(state: TrainState, batch, targets, target_mask, plateau_value):
+    def step(state: TrainState, batch, targets, target_mask, plateau_value=None):
         loss, grads = jax.value_and_grad(seq2gene_loss_fn)(
             state.params, batch, targets, target_mask, cfg
         )
+        # value semantics follow the optimizer's plateau mode (optimizer.py):
+        # "epoch" (default) wants an LR scale -> neutral 1.0 when omitted;
+        # "step" wants the monitored loss -> pass it explicitly.
+        value = 1.0 if plateau_value is None else plateau_value
         updates, opt_state = tx.update(
-            grads, state.opt_state, state.params, value=plateau_value
+            grads, state.opt_state, state.params, value=value
         )
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -101,7 +105,7 @@ def make_seq2reg_train_step(cfg: ModelConfig, tx, **loss_kwargs):
             state.params, tokens, tok_len, context, tissue_ids, labels, cfg,
             **loss_kwargs,
         )
-        value = loss if plateau_value is None else plateau_value
+        value = 1.0 if plateau_value is None else plateau_value
         updates, opt_state = tx.update(
             grads, state.opt_state, state.params, value=value
         )
