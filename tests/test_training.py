@@ -324,6 +324,40 @@ def test_fit_on_mesh_matches_unmeshed(tmp_path):
         assert b["train_loss"] == pytest.approx(a["train_loss"], rel=2e-5)
 
 
+def test_fit_seq2reg_on_mesh_matches_unmeshed(tmp_path):
+    """Seq2Reg (window-classifier) training also runs DP+TP via
+    fit(mesh=...): per-row batches shard over "data", the encoder's packed
+    projections over "model"."""
+    from variantformer_tpu.config import ModelConfig, WindowEncoderConfig
+    from variantformer_tpu.models.init import init_window_encoder
+    from variantformer_tpu.parallel import mesh as pmesh
+    from variantformer_tpu.train.loop import fit, seq2reg_shard_batches
+    from variantformer_tpu.train.steps import TrainState, make_seq2reg_train_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+
+    wcfg = WindowEncoderConfig(
+        vocab_size=32, embedding_dim=32, num_heads=4, num_layers=1,
+        ffn_hidden_dim=64, token_length=16, num_tissues=2, num_classes=2,
+    )
+    cfg = ModelConfig(window_encoder=wcfg)
+    _write_seq2reg_shards(tmp_path / "shards", n_train=4, n_val=0)
+    params = init_window_encoder(jax.random.key(0), wcfg)
+    tx = make_optimizer(params, learning_rate=1e-3)
+    step = make_seq2reg_train_step(cfg, tx)
+    batches = seq2reg_shard_batches(tmp_path / "shards", {"liver": 1})
+
+    def run(mesh):
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        return fit(state, step, batches, epochs=2, mesh=mesh)
+
+    base = run(None)
+    meshed = run(pmesh.make_mesh(devices=jax.devices()[:8]))
+    for a, b in zip(base.history, meshed.history):
+        assert b["train_loss"] == pytest.approx(a["train_loss"], rel=2e-5)
+
+
 def test_fit_early_stop(tmp_path):
     """Early stopping halts after patience epochs without val improvement."""
     from variantformer_tpu.train.loop import fit
