@@ -117,7 +117,7 @@ def test_vcf2exp_notebook_executes(tmp_path):
 def test_all_notebooks_valid():
     import nbformat
 
-    names = ["vcf2exp", "vcf2risk", "eqtl_analysis", "variant2exp",
+    names = ["vcf2exp", "vcf2risk", "eqtl_analysis", "variant2exp", "finetune_seq2gene",
              "snp_indel_predictions", "variant2risk"]
     for name in names:
         nb = nbformat.read(REPO / "notebooks" / f"{name}.ipynb", as_version=4)
