@@ -188,6 +188,80 @@ def test_two_process_distributed_launcher(tmp_path):
     assert [s["genes"] for s in stats] == [1, 1]
 
 
+def test_two_process_distributed_training(tmp_path):
+    """TRUE multi-host data-parallel training: two jax.distributed processes
+    share one global mesh, each contributes its donors to every global batch,
+    and GSPMD all-reduces the gradients — verified by lockstep with a
+    single-process run over the same shards (same global batches in the same
+    order => same loss trajectory)."""
+    rng = np.random.default_rng(0)
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    for i in range(4):
+        np.savez(
+            shards / f"GENE{i}.1__D1.npz",
+            cre_tokens=rng.integers(4, 64, (4, 8)).astype(np.int32),
+            cre_tok_len=np.full(4, 8, np.int32),
+            cre_labels=rng.integers(0, 9, 4).astype(np.int32),
+            gene_tokens=rng.integers(4, 64, (3, 8)).astype(np.int32),
+            gene_tok_len=np.full(3, 8, np.int32),
+            strand=np.int32(0),
+            tissue_ids=np.asarray([0, 2], np.int32),
+            targets=np.asarray([1.0 + i, 0.5], np.float32),
+        )
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # 1 local device per process
+
+    def launch(num_processes: int, out: Path):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, str(REPO / "scripts" / "launch_train.py"),
+                    "--shards", str(shards), "--tissue-ids", "0,2",
+                    "--epochs", "2", "--global-batch", "2",
+                    "--lr", "1e-3", "--tiny-model", "--no-shuffle",
+                    "--platform", "cpu", "--out", str(out),
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", str(num_processes),
+                    "--process-id", str(pid),
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO,
+            )
+            for pid in range(num_processes)
+        ]
+        outputs = []
+        for p in procs:
+            try:
+                text, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outputs.append(text)
+        for p, text in zip(procs, outputs):
+            assert p.returncode == 0, text[-2000:]
+        hist = json.loads(
+            (out / "host_000" / "history.json").read_text()
+        )["epochs"]
+        return hist, outputs
+
+    single, _ = launch(1, tmp_path / "single")
+    double, outputs = launch(2, tmp_path / "double")
+    assert len(single) == len(double) == 2
+    for a, b in zip(single, double):
+        # same global batches in the same order; only the cross-device
+        # reduction order differs
+        assert b["train_loss"] == pytest.approx(a["train_loss"], rel=2e-5), (
+            outputs[0][-1500:]
+        )
+    # training moved: epoch 1 improves on epoch 0
+    assert double[1]["train_loss"] < double[0]["train_loss"]
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
 def test_use_mesh_sweep_matches_single_device(tmp_path):
     """VCFProcessor.use_mesh scales the whole API across the mesh: a

@@ -49,3 +49,57 @@ def shard_query_across_hosts(items: list, process_index: int | None = None,
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     return items[pi::pc]
+
+
+def globalize_train_state(state, mesh):
+    """Identical per-process TrainState -> replicated global arrays on a
+    multi-host mesh. Every process must hold the same values (same init key
+    or the same restored checkpoint); DP gradient sync then keeps them in
+    lockstep. For models too large to replicate, restore pre-sharded instead
+    (models/checkpoint.load_checkpoint(mesh=...))."""
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import PartitionSpec as P
+
+    from variantformer_tpu.train.steps import TrainState
+
+    rep = lambda x: mhu.host_local_array_to_global_array(np.asarray(x), mesh, P())
+    return TrainState(
+        jax.tree.map(rep, state.params),
+        jax.tree.map(rep, state.opt_state),
+        rep(state.step),
+    )
+
+
+def globalize_step_args(args: tuple, mesh) -> tuple:
+    """Per-process local step args -> one global batch on a multi-host mesh.
+
+    Each process contributes its OWN donors: Seq2GeneBatch fields and bare
+    leading-dim arrays concatenate across processes along "data"
+    (``host_local_array_to_global_array``); ``tissue_ids`` and python
+    scalars replicate (must be identical on every host). The multi-host
+    counterpart of ``parallel.mesh.shard_step_args``."""
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import PartitionSpec as P
+
+    from variantformer_tpu.models.seq2gene import Seq2GeneBatch
+    from variantformer_tpu.parallel.mesh import batch_specs
+
+    def glob(x, spec):
+        return mhu.host_local_array_to_global_array(np.asarray(x), mesh, spec)
+
+    out = []
+    for a in args:
+        if isinstance(a, Seq2GeneBatch):
+            specs = batch_specs(a)
+            out.append(Seq2GeneBatch(**{
+                n: (None if getattr(a, n) is None
+                    else glob(getattr(a, n), getattr(specs, n)))
+                for n in a._fields
+            }))
+        elif getattr(a, "ndim", 0) >= 1:
+            out.append(glob(a, P("data", *([None] * (a.ndim - 1)))))
+        else:
+            out.append(a)
+    return tuple(out)

@@ -141,6 +141,7 @@ def fit(
     early_stop_patience: int | None = None,
     resume: bool = False,
     mesh=None,
+    shard_fn: Callable[[tuple], tuple] | None = None,
 ) -> FitResult:
     """Run the fit loop.
 
@@ -168,6 +169,10 @@ def fit(
         TrainState is placed via ``parallel.mesh.shard_train_state`` (after
         any resume restore) and every batch tuple via ``shard_step_args``;
         GSPMD inserts the gradient all-reduce and TP collectives.
+      shard_fn: override for the per-batch placement (multi-host runs pass
+        ``parallel.launch.globalize_step_args`` and globalize the state
+        themselves — see scripts/launch_train.py); with ``shard_fn`` set and
+        ``mesh=None`` the TrainState is used as given.
     """
     plateau = plateau or PlateauTracker()
     history: list[dict] = []
@@ -195,6 +200,8 @@ def fit(
         from variantformer_tpu.parallel.mesh import shard_step_args, shard_train_state
 
         state = shard_train_state(state, mesh)
+        if shard_fn is None:
+            shard_fn = lambda b: shard_step_args(b, mesh)
 
     def _save() -> None:
         if ckpt_dir is None:
@@ -221,8 +228,8 @@ def fit(
         lr_scale = plateau.scale
         losses = []
         for batch in train_batches(epoch):
-            if mesh is not None:
-                batch = shard_step_args(tuple(batch), mesh)
+            if shard_fn is not None:
+                batch = shard_fn(tuple(batch))
             state, loss = step_fn(state, *batch, lr_scale)
             losses.append(loss)
         if not losses:
@@ -300,6 +307,7 @@ def seq2gene_shard_batches(
     shuffle: bool = True,
     bucket_step: int = 64,
     gene_cap: int | None = 200,
+    process_split: tuple[int, int] | None = None,
 ) -> Callable[[int], Iterable[tuple]]:
     """Batch iterator over ``data/train_pipeline.TrainingShardWriter``
     output for the seq2gene train step: yields ``(Seq2GeneBatch, targets,
@@ -309,13 +317,21 @@ def seq2gene_shard_batches(
     the mask elsewhere. Short final batches pad by repeating the last
     sample with a zeroed mask, so every step reuses one compiled
     executable per bucket shape (choose ``bucket_step`` ≥ the CRE-count
-    spread to stay on a single shape)."""
+    spread to stay on a single shape).
+
+    ``process_split=(process_index, process_count)`` takes this host's
+    round-robin share of the shard files — the multi-host DP split (each
+    host's local batches concatenate into the global batch via
+    ``parallel.launch.globalize_step_args``)."""
     import jax.numpy as jnp
 
     from variantformer_tpu.data.pipeline import GeneSample, pack_samples
 
     shard_dir = Path(shard_dir)
     files = sorted(shard_dir.glob("*__*.npz"))
+    if process_split is not None:
+        pi, pc = process_split
+        files = files[pi::pc]
     if not files:
         raise FileNotFoundError(f"no seq2gene shards under {shard_dir}")
     tissue_arr = np.asarray(tissue_ids, np.int32)
