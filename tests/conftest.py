@@ -8,11 +8,21 @@ partitioning on host devices; Pallas kernels run in interpreter mode.
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# Isolate tests from the shared persistent compilation cache (enabled by the
+# processors via utils/jax_setup.enable_cache). The shared dir outlives the
+# rig's host machine, and XLA:CPU AOT entries compiled on a different CPU
+# generation ABORT the process on execution (observed: cpu_aot_loader
+# machine-feature mismatch -> SIGILL-class crash mid-suite). Tests get a
+# throwaway per-session dir instead.
+os.environ.setdefault(
+    "VFX_JAX_CACHE_DIR", tempfile.mkdtemp(prefix="vfx_test_jax_cache_")
+)
 
 import jax
 
