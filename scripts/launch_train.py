@@ -141,7 +141,7 @@ def main():
         "global_batch": global_batch, "epochs": res.history,
     }, indent=2))
     log.info("done: final train loss %.6g", res.history[-1]["train_loss"])
-    if args.process_id in (None, 0) and not args.tiny_model:
+    if topo["process_index"] == 0 and not args.tiny_model:
         from variantformer_tpu.models.checkpoint import save_checkpoint
 
         # gather replicated params to host before saving

@@ -24,6 +24,11 @@ from pathlib import Path
 
 REPO = Path().resolve()
 while not (REPO / "variantformer_tpu").is_dir():
+    if REPO == REPO.parent:  # reached filesystem root
+        raise FileNotFoundError(
+            "variantformer_tpu repo not found above the notebook's cwd -- "
+            "launch jupyter from inside the repository checkout"
+        )
     REPO = REPO.parent
 sys.path[:0] = [str(REPO), str(REPO / "examples")]
 
@@ -140,6 +145,20 @@ NOTEBOOKS = {
         ("code", SETUP),
         ("code", RUN.format(script="variant2risk") + "out = mod[\"main\"]()\n"
                  "out"),
+    ],
+    "vcf2embed": [
+        ("md", "# vcf2embed — embedding clustering and 2D projection\n\n"
+               "Collects the model's pooled gene–tissue embeddings across "
+               "genes × tissues, clusters them, and projects to 2D (UMAP "
+               "when installed, PCA otherwise) — the reference's vcf2embed "
+               "clustering flow. The scatter below is interactive: hover a "
+               "point for its gene, tissue, predicted expression and "
+               "cluster."),
+        ("code", SETUP),
+        ("code", RUN.format(script="vcf2embed") + "df = mod[\"main\"]()\n"
+                 "df"),
+        ("md", "## Interactive scatter"),
+        ("code", "display(HTML(Path(mod[\"SCATTER_HTML\"]).read_text()))"),
     ],
 }
 

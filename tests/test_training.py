@@ -409,3 +409,133 @@ def test_remat_matches_and_trains():
     g = jax.grad(seq2gene_loss_fn)(params, batch, targets, mask, cfg_remat)
     gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g["gene_map"])))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_process_split_equal_batches(tmp_path):
+    """Multi-host shard split must give every host the SAME number of local
+    batches — a host with one extra batch would enqueue a global collective
+    the others never join (DCN deadlock). 5 shards over 2 hosts -> 2 each."""
+    from variantformer_tpu.train.loop import seq2gene_shard_batches
+
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        np.savez(
+            tmp_path / f"GENE{i}.1__D1.npz",
+            cre_tokens=rng.integers(4, 32, (4, 8)).astype(np.int32),
+            cre_tok_len=np.full(4, 8, np.int32),
+            cre_labels=rng.integers(0, 9, 4).astype(np.int32),
+            gene_tokens=rng.integers(4, 32, (3, 8)).astype(np.int32),
+            gene_tok_len=np.full(3, 8, np.int32),
+            strand=np.int32(0),
+            tissue_ids=np.asarray([0], np.int32),
+            targets=np.asarray([1.0], np.float32),
+        )
+    counts = []
+    for pi in range(2):
+        b = seq2gene_shard_batches(
+            tmp_path, [0], batch_size=1, process_split=(pi, 2)
+        )
+        counts.append(sum(1 for _ in b(0)))
+    assert counts == [2, 2]
+
+
+def test_legacy_shard_tissue_recovery(tmp_path):
+    """Shards without a 'tissue' npz key recover it from the
+    {subject}_{tissue}_{chrom}_chunk_{n} filename even when subject AND
+    tissue names contain underscores (longest vocab suffix match)."""
+    from variantformer_tpu.train.loop import seq2reg_shard_batches
+
+    out = tmp_path / "train"
+    out.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    np.savez(
+        out / "HG_00096_adipose_subcutaneous_chr1_chunk_0.npz",
+        tokens=rng.integers(4, 16, (4, 8)).astype(np.int32),
+        tok_len=np.full(4, 8, np.int32),
+        ref_class=np.zeros(4, np.int32),
+        tissue_class=np.zeros(4, np.int32),
+    )
+    vocab = {"subcutaneous": 7, "adipose_subcutaneous": 3, "liver": 1}
+    batches = seq2reg_shard_batches(tmp_path, vocab)
+    (_, _, _, tissue_ids, _), = list(batches(0))
+    assert int(tissue_ids[0]) == 3  # longest match, not '00096' or suffix
+
+    # Unrecoverable name -> clear error, not KeyError/wrong tissue.
+    np.savez(
+        out / "S1_unknowntissue_chr1_chunk_0.npz",
+        tokens=rng.integers(4, 16, (4, 8)).astype(np.int32),
+        tok_len=np.full(4, 8, np.int32),
+        ref_class=np.zeros(4, np.int32),
+        tissue_class=np.zeros(4, np.int32),
+    )
+    batches = seq2reg_shard_batches(tmp_path, vocab, shuffle=False)
+    with pytest.raises(ValueError, match="cannot recover"):
+        list(batches(0))
+
+
+def test_pick_tissue_block_respects_vmem_cap():
+    """TB=9 measured OOM at full geometry — never a candidate; counts that
+    only 9 divides fall back to 6 (the wrapper pads the tissue axis)."""
+    from variantformer_tpu.ops.fused_modulator import pick_tissue_block
+
+    assert pick_tissue_block(54) == 6
+    assert pick_tissue_block(45) == 6   # 45 % 9 == 0, but 9 is banned
+    assert pick_tissue_block(8) == 8
+    assert pick_tissue_block(7) == 7
+    assert pick_tissue_block(4) == 4
+    assert all(pick_tissue_block(t) <= 8 for t in range(1, 200))
+
+
+def test_step_plateau_mode_feeds_loss():
+    """make_*_train_step(plateau='step') must feed the step's own loss to
+    reduce_on_plateau when plateau_value is omitted — a constant 1.0 would
+    count every step as non-improving and silently decay the LR to the
+    floor."""
+    from variantformer_tpu.config import ModelConfig, WindowEncoderConfig
+    from variantformer_tpu.models.init import init_window_encoder
+    from variantformer_tpu.train.steps import TrainState, make_seq2reg_train_step
+
+    wcfg = WindowEncoderConfig(
+        vocab_size=32, embedding_dim=32, num_heads=4, num_layers=1,
+        ffn_hidden_dim=64, token_length=16, num_tissues=2, num_classes=2,
+    )
+    cfg = ModelConfig(window_encoder=wcfg)
+    params = init_window_encoder(jax.random.key(0), wcfg)
+    tx = make_optimizer(
+        params, learning_rate=3e-3, plateau="step", plateau_patience=1
+    )
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_seq2reg_train_step(cfg, tx, plateau="step")
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 8).astype(np.int32)
+    tokens = np.where(
+        labels[:, None] == 0,
+        rng.integers(4, 16, (8, 16)),
+        rng.integers(16, 28, (8, 16)),
+    ).astype(np.int32)
+    args = (
+        jnp.asarray(tokens), jnp.full((8,), 16, jnp.int32),
+        jnp.zeros((8,), jnp.int32), jnp.ones((8,), jnp.int32),
+        jnp.asarray(labels),
+    )
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, *args)
+        losses.append(float(loss))
+    # Training loss falls -> plateau sees improvement -> the
+    # reduce_on_plateau scale must NOT have collapsed to min_scale.
+    assert losses[-1] < losses[0]
+
+    def find_scale(s):
+        if hasattr(s, "scale") and hasattr(s, "plateau_count"):
+            return float(s.scale)
+        if isinstance(s, tuple):
+            for item in s:
+                r = find_scale(item)
+                if r is not None:
+                    return r
+        return None
+
+    scale = find_scale(state.opt_state)
+    assert scale is not None and scale > 0.9

@@ -283,7 +283,11 @@ class VCFProcessor:
 
         assert self._params is not None, "call load_model()/set_params() first"
         mesh = mesh or make_mesh()
-        self._impl_before_mesh = self.impl
+        if getattr(self, "_mesh", None) is None:
+            # Only record the pre-mesh impl on the first call — re-meshing an
+            # already-meshed processor must not overwrite it with "xla", or
+            # _reset_mesh could never restore the fused kernels.
+            self._impl_before_mesh = self.impl
         if self.impl != "xla":
             log.info("use_mesh: impl %r -> 'xla' (kernels are single-chip)",
                      self.impl)

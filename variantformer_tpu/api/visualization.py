@@ -111,6 +111,105 @@ def expression_report(
     return str(out_path)
 
 
+_SCATTER_PALETTE = (
+    "#4269d0", "#efb118", "#ff725c", "#6cc5b0", "#3ca951",
+    "#ff8ab7", "#a463f2", "#97bbf5", "#9c6b4e", "#9498a0",
+)
+
+
+def scatter_html(
+    df,
+    out_path: str | Path,
+    *,
+    x: str = "x",
+    y: str = "y",
+    color: str | None = None,
+    hover: list[str] | None = None,
+    title: str = "2D embedding",
+    width: int = 680,
+    height: int = 520,
+) -> str:
+    """Interactive 2D scatter as a single self-contained HTML file
+    (counterpart of the reference vcf2embed notebook's plotly UMAP figure,
+    /root/reference/notebooks/vcf2embed.py:316-380 — hover tooltips,
+    categorical colors, legend — with zero widget/JS dependencies)."""
+    xs = [float(v) for v in df[x]]
+    ys = [float(v) for v in df[y]]
+    pad = 0.05
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    xr = (x1 - x0) or 1.0
+    yr = (y1 - y0) or 1.0
+    x0, x1 = x0 - pad * xr, x1 + pad * xr
+    y0, y1 = y0 - pad * yr, y1 + pad * yr
+
+    def px(v):  # data -> svg coords (y flipped)
+        return 40 + (v - x0) / (x1 - x0) * (width - 60)
+
+    def py(v):
+        return 12 + (y1 - v) / (y1 - y0) * (height - 52)
+
+    categories: list[str] = []
+    cat_of: list[str | None] = []
+    if color is not None:
+        for v in df[color]:
+            s = str(v)
+            if s not in categories:
+                categories.append(s)
+            cat_of.append(s)
+    else:
+        cat_of = [None] * len(xs)
+    col = {
+        c: _SCATTER_PALETTE[i % len(_SCATTER_PALETTE)]
+        for i, c in enumerate(categories)
+    }
+    hover = hover or []
+    circles = []
+    for i in range(len(xs)):
+        tip_parts = [f"{h}: {df[h].iloc[i]}" for h in hover]
+        if color is not None:
+            tip_parts.append(f"{color}: {cat_of[i]}")
+        tip_parts.append(f"({xs[i]:.3g}, {ys[i]:.3g})")
+        fill = col[cat_of[i]] if cat_of[i] is not None else _SCATTER_PALETTE[0]
+        circles.append(
+            f"<circle cx='{px(xs[i]):.1f}' cy='{py(ys[i]):.1f}' r='4.5' "
+            f"fill='{fill}' fill-opacity='0.8' stroke='#fff' "
+            f"stroke-width='0.8' data-tip=\""
+            f"{html.escape(' | '.join(tip_parts), quote=True)}\"/>"
+        )
+    legend = "".join(
+        f"<span style='margin-right:1rem;white-space:nowrap'>"
+        f"<span style='display:inline-block;width:.7rem;height:.7rem;"
+        f"border-radius:50%;background:{col[c]};margin-right:.3rem'></span>"
+        f"{html.escape(c)}</span>"
+        for c in categories
+    )
+    page = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{html.escape(title)}</title>"
+        "<style>body{font-family:system-ui,sans-serif;margin:2rem}"
+        "#tip{position:fixed;display:none;background:#222;color:#fff;"
+        "padding:.3rem .5rem;border-radius:4px;font-size:.8rem;"
+        "pointer-events:none;max-width:24rem}</style></head><body>"
+        f"<h1>{html.escape(title)}</h1>"
+        f"<div style='margin:.3rem 0 .6rem'>{legend}</div>"
+        f"<svg width='{width}' height='{height}' "
+        "style='border:1px solid #ddd;background:#fafafa'>"
+        + "".join(circles)
+        + "</svg><div id='tip'></div><script>"
+        "const tip=document.getElementById('tip');"
+        "document.querySelectorAll('circle[data-tip]').forEach(c=>{"
+        "c.addEventListener('mousemove',e=>{tip.style.display='block';"
+        "tip.style.left=(e.clientX+12)+'px';tip.style.top=(e.clientY+12)+'px';"
+        "tip.textContent=c.dataset.tip;});"
+        "c.addEventListener('mouseleave',()=>tip.style.display='none');});"
+        "</script></body></html>"
+    )
+    out_path = Path(out_path)
+    out_path.write_text(page)
+    return str(out_path)
+
+
 def report_from_prediction_df(df, out_path: str | Path, value_column: str = "predicted_expression"):
     """Adapter for VCFProcessor.predict output (list-valued columns)."""
     predictions = {}

@@ -56,8 +56,9 @@ def pick_tissue_block(t: int) -> int:
     Larger blocks would amortize the per-block weight re-stream further, but
     the batched self-attention's per-head [TB, G1P, G1P] f32 score transients
     scale with TB and 9 already exceeds VMEM at full geometry (measured:
-    TB=9 OOMs, TB=6 leaves ~30 MB headroom)."""
-    for b in (6, 7, 8, 9):
+    TB=9 OOMs, TB=6 leaves ~30 MB headroom) — so 9 is never a candidate;
+    a tissue count like 45 runs TB=6 with the wrapper's pad-to-48."""
+    for b in (6, 7, 8):
         if t % b == 0:
             return b
     return min(t, 6)

@@ -284,8 +284,22 @@ def seq2reg_shard_batches(
             z = np.load(files[i])
             if "tissue" in z.files:
                 tissue = str(z["tissue"])
-            else:  # older shards: recover from {subject}_{tissue}_... name
-                tissue = files[i].stem.split("_")[1]
+            else:
+                # Older shards: recover the tissue from the
+                # {subject}_{tissue}_{chrom}_chunk_{n} name. Subject and
+                # tissue names may themselves contain underscores, so match
+                # the longest vocab key that the middle section ends with.
+                middle = "_".join(files[i].stem.split("_")[:-3])
+                hits = [
+                    t for t in tissue_vocab
+                    if middle == t or middle.endswith("_" + t)
+                ]
+                if not hits:
+                    raise ValueError(
+                        f"cannot recover a vocab tissue from shard name "
+                        f"{files[i].name!r}"
+                    )
+                tissue = max(hits, key=len)
             tid = tissue_vocab[tissue]
             n = z["tokens"].shape[0]
             yield (
@@ -330,8 +344,12 @@ def seq2gene_shard_batches(
     shard_dir = Path(shard_dir)
     files = sorted(shard_dir.glob("*__*.npz"))
     if process_split is not None:
+        # Truncate to a multiple of process_count BEFORE the round-robin
+        # split so every host sees the same number of local batches — a
+        # host with one extra batch would enqueue a global collective the
+        # others never join (DCN deadlock at epoch end).
         pi, pc = process_split
-        files = files[pi::pc]
+        files = files[pi : len(files) - len(files) % pc : pc]
     if not files:
         raise FileNotFoundError(f"no seq2gene shards under {shard_dir}")
     tissue_arr = np.asarray(tissue_ids, np.int32)
@@ -381,14 +399,15 @@ def seq2gene_shard_batches(
     return batches
 
 
-def _mean_eval_loss(one, batches_fn) -> Callable[[TrainState], float]:
+def _mean_eval_loss(one, batches_fn, shard_fn) -> Callable[[TrainState], float]:
     """state -> mean of the jitted per-batch loss over ``batches_fn(0)``."""
 
     def eval_loss(state: TrainState) -> float:
-        vals = [
-            np.asarray(one(state.params, *b), dtype=np.float64)
-            for b in batches_fn(0)
-        ]
+        vals = []
+        for b in batches_fn(0):
+            if shard_fn is not None:
+                b = shard_fn(tuple(b))
+            vals.append(np.asarray(one(state.params, *b), dtype=np.float64))
         if not vals:
             raise ValueError("eval batches yielded nothing")
         return float(np.mean(vals))
@@ -396,20 +415,30 @@ def _mean_eval_loss(one, batches_fn) -> Callable[[TrainState], float]:
     return eval_loss
 
 
-def make_seq2gene_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
-    """Mean validation loss over one pass of ``batches_fn(0)``."""
+def make_seq2gene_eval_loss(
+    cfg, batches_fn, shard_fn=None
+) -> Callable[[TrainState], float]:
+    """Mean validation loss over one pass of ``batches_fn(0)``.
+
+    Multi-host runs MUST pass the same ``shard_fn`` they give ``fit`` (e.g.
+    ``lambda b: globalize_step_args(b, mesh)``) so every host evaluates the
+    same GLOBAL batches — host-local eval batches against global params
+    would enqueue divergent programs on the shared mesh and deadlock."""
     from variantformer_tpu.train.steps import seq2gene_loss_fn
 
     @jax.jit
     def one(params, batch, targets, mask):
         return seq2gene_loss_fn(params, batch, targets, mask, cfg)
 
-    return _mean_eval_loss(one, batches_fn)
+    return _mean_eval_loss(one, batches_fn, shard_fn)
 
 
-def make_seq2reg_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
+def make_seq2reg_eval_loss(
+    cfg, batches_fn, shard_fn=None
+) -> Callable[[TrainState], float]:
     """Mean validation loss over one pass of ``batches_fn(0)`` (use
-    ``seq2reg_shard_batches(..., split="test", shuffle=False)``)."""
+    ``seq2reg_shard_batches(..., split="test", shuffle=False)``). See
+    ``make_seq2gene_eval_loss`` for the multi-host ``shard_fn`` contract."""
     from variantformer_tpu.train.steps import seq2reg_loss_fn
 
     @jax.jit
@@ -419,4 +448,4 @@ def make_seq2reg_eval_loss(cfg, batches_fn) -> Callable[[TrainState], float]:
         )
         return loss
 
-    return _mean_eval_loss(one, batches_fn)
+    return _mean_eval_loss(one, batches_fn, shard_fn)

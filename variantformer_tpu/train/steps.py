@@ -46,18 +46,26 @@ def seq2gene_loss_fn(
     return elem.sum() / jnp.maximum(target_mask.sum(), 1)
 
 
-def make_seq2gene_train_step(cfg: ModelConfig, tx: optax.GradientTransformation):
+def make_seq2gene_train_step(
+    cfg: ModelConfig, tx: optax.GradientTransformation, plateau: str = "epoch"
+):
+    """``plateau`` must match the mode the optimizer was built with
+    (optimizer.py): it picks the default ``value`` fed to ``tx.update`` when
+    the step is called without ``plateau_value`` — a neutral 1.0 LR scale
+    for "epoch", the step's own loss for "step" (feeding a constant 1.0 to
+    ``reduce_on_plateau`` would count every step as non-improving and
+    silently decay the LR to the floor)."""
+    assert plateau in ("step", "epoch")
+
     @jax.jit
     def step(state: TrainState, batch, targets, target_mask, plateau_value=None):
         loss, grads = jax.value_and_grad(seq2gene_loss_fn)(
             state.params, batch, targets, target_mask, cfg
         )
-        # value semantics follow the optimizer's plateau mode (optimizer.py):
-        # "epoch" (default) wants an LR scale -> neutral 1.0 when omitted;
-        # "step" wants the monitored loss -> pass it explicitly.
-        value = 1.0 if plateau_value is None else plateau_value
+        if plateau_value is None:
+            plateau_value = loss if plateau == "step" else 1.0
         updates, opt_state = tx.update(
-            grads, state.opt_state, state.params, value=value
+            grads, state.opt_state, state.params, value=plateau_value
         )
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -95,7 +103,10 @@ def seq2reg_loss_fn(
     return loss, logits
 
 
-def make_seq2reg_train_step(cfg: ModelConfig, tx, **loss_kwargs):
+def make_seq2reg_train_step(cfg: ModelConfig, tx, plateau: str = "epoch", **loss_kwargs):
+    """See ``make_seq2gene_train_step`` for the ``plateau`` contract."""
+    assert plateau in ("step", "epoch")
+
     @jax.jit
     def step(
         state: TrainState, tokens, tok_len, context, tissue_ids, labels,
@@ -105,9 +116,10 @@ def make_seq2reg_train_step(cfg: ModelConfig, tx, **loss_kwargs):
             state.params, tokens, tok_len, context, tissue_ids, labels, cfg,
             **loss_kwargs,
         )
-        value = 1.0 if plateau_value is None else plateau_value
+        if plateau_value is None:
+            plateau_value = loss if plateau == "step" else 1.0
         updates, opt_state = tx.update(
-            grads, state.opt_state, state.params, value=value
+            grads, state.opt_state, state.params, value=plateau_value
         )
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
