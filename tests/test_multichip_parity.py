@@ -305,3 +305,72 @@ def test_use_mesh_sweep_matches_single_device(tmp_path):
         meshed["predicted_expression"].to_numpy(),
         rtol=2e-5, atol=2e-5,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_tissue_sharded_forward_matches_single_device():
+    """partition="tissue" (single-donor scale-out): the tissue fan-out and
+    the window axes shard over "data" instead of donors; output must still
+    match the unsharded forward. Odd T (5) exercises pad_tissue_axis; D=1
+    is the motivating workload (one donor, mesh full)."""
+    cfg = _near_real_cfg()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = _example_batch(d=1, c=12, g=6, length=12, t=5, vocab=64)
+
+    single = seq2gene_forward(params, batch, cfg)
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    padded, t = pmesh.pad_tissue_axis(batch, m)
+    assert t == 5 and padded.tissue_ids.shape[0] == 6  # data axis = 2
+    sharded_out = pmesh.sharded_forward(cfg, m)(
+        pmesh.shard_params(params, m),
+        pmesh.shard_batch(padded, m, partition="tissue"),
+    )
+
+    for name in single._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(sharded_out, name))[:, :t],
+            np.asarray(getattr(single, name)),
+            rtol=2e-5, atol=2e-5, err_msg=name,
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_use_mesh_tissue_partition_matches_single_device(tmp_path):
+    """use_mesh(partition="tissue") through the full API: single-donor
+    predictions over an odd tissue count (3, padded to the data axis and
+    sliced back) must match the unmeshed processor."""
+    sys.path.insert(0, str(REPO / "examples"))
+    import dataclasses
+
+    import pandas as pd
+    from _common import synthetic_env
+
+    from variantformer_tpu.api.vcfprocessor import VCFProcessor
+
+    sources, cfg, extras = synthetic_env(str(tmp_path / "env"))
+    cfg = dataclasses.replace(
+        cfg, precision=PrecisionPolicy(compute_dtype="float32")
+    )
+
+    def run(meshed):
+        proc = VCFProcessor(sources=sources, config=cfg, impl="xla")
+        proc.set_params(init_seq2gene(jax.random.key(0), cfg))
+        if meshed:
+            proc.use_mesh(
+                pmesh.make_mesh(devices=jax.devices()[:8]),
+                partition="tissue",
+            )
+        names = list(proc.tissue_vocab)[:3]
+        query = pd.DataFrame(
+            {"gene_id": ["GENE1.1"], "tissues": [",".join(names)]}
+        )
+        return proc.predict(extras["vcf"], query)
+
+    base = run(meshed=False)
+    meshed = run(meshed=True)
+    np.testing.assert_allclose(
+        np.asarray(list(meshed["predicted_expression"])[0], float),
+        np.asarray(list(base["predicted_expression"])[0], float),
+        rtol=2e-5, atol=2e-5,
+    )

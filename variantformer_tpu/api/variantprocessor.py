@@ -68,9 +68,11 @@ class VariantProcessor:
         arrays and the cached jitted executables)."""
         self._vp.cleanup()
 
-    def use_mesh(self, mesh=None):
-        """Shard the model over a device mesh (see VCFProcessor.use_mesh)."""
-        self._vp.use_mesh(mesh)
+    def use_mesh(self, mesh=None, partition: str = "donor"):
+        """Shard the model over a device mesh (see VCFProcessor.use_mesh).
+        VEP batches are ref/het/hom triples (D=3), so partition="tissue"
+        fits meshes wider than 3 donors."""
+        self._vp.use_mesh(mesh, partition=partition)
 
     # -- variant loading ----------------------------------------------------
     def load_variants(self, var_df: pd.DataFrame) -> list[Variant]:

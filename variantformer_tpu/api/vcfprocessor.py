@@ -268,21 +268,33 @@ class VCFProcessor:
         the fused kernels again, and stop sharding batches."""
         if getattr(self, "_mesh", None) is not None:
             self._mesh = None
+            self._mesh_partition = "donor"
             self.impl = self._impl_before_mesh
             self._fwd_cache.clear()
 
-    def use_mesh(self, mesh=None):
+    def use_mesh(self, mesh=None, partition: str = "donor"):
         """Scale every flow (vcf2exp, VEP, sweeps) across a device mesh:
         params shard head/FFN tensor-parallel over the "model" axis and
-        donor batches data-parallel over "data" (parallel/mesh.py). Call
-        after load_model()/set_params(). Batches whose donor count does not
-        divide the data axis are suffix-padded in _forward and the pad rows
-        sliced off. The fused single-chip Pallas kernels do not partition
-        under GSPMD, so meshed forwards run the XLA path."""
+        batches data-parallel over "data" (parallel/mesh.py). Call after
+        load_model()/set_params().
+
+        partition="donor" (default): donor batches shard over "data";
+        batches whose donor count does not divide the data axis are
+        suffix-padded in _forward and the pad rows sliced off.
+
+        partition="tissue": single-donor scale-out — the per-tissue gene
+        fan-out and the window axes shard over "data" instead (tissue list
+        padded/sliced in _forward); use when batches are donor-thin (one
+        donor, genome-wide sweep) but the tissue list is wide.
+
+        The fused single-chip Pallas kernels do not partition under GSPMD,
+        so meshed forwards run the XLA path."""
         from variantformer_tpu.parallel.mesh import make_mesh, shard_params
 
         assert self._params is not None, "call load_model()/set_params() first"
+        assert partition in ("donor", "tissue")
         mesh = mesh or make_mesh()
+        self._mesh_partition = partition
         if getattr(self, "_mesh", None) is None:
             # Only record the pre-mesh impl on the first call — re-meshing an
             # already-meshed processor must not overwrite it with "xla", or
@@ -300,11 +312,16 @@ class VCFProcessor:
     def _forward(self, batch):
         mesh = getattr(self, "_mesh", None)
         d = batch.cre_tokens.shape[0]
+        t = batch.tissue_ids.shape[0]
         if mesh is not None:
-            from variantformer_tpu.parallel.mesh import shard_batch
+            from variantformer_tpu.parallel.mesh import (
+                pad_tissue_axis,
+                shard_batch,
+            )
 
+            partition = getattr(self, "_mesh_partition", "donor")
             data = mesh.shape["data"]
-            if d % data:
+            if partition == "donor" and d % data:
                 pad = data - d % data
                 batch = Seq2GeneBatch(
                     **{
@@ -319,7 +336,9 @@ class VCFProcessor:
                         for leaf in [getattr(batch, name)]
                     }
                 )
-            batch = shard_batch(batch, mesh)
+            elif partition == "tissue":
+                batch, _ = pad_tissue_axis(batch, mesh)
+            batch = shard_batch(batch, mesh, partition)
         key = (
             batch.cre_tokens.shape,
             batch.gene_tokens.shape,
@@ -334,6 +353,8 @@ class VCFProcessor:
         out = self._fwd_cache[key](self._params, batch)
         if batch.cre_tokens.shape[0] != d:  # slice off donor padding
             out = type(out)(*(leaf[:d] for leaf in out))
+        if batch.tissue_ids.shape[0] != t:  # slice off tissue padding
+            out = type(out)(*(leaf[:, :t] for leaf in out))
         return out
 
     # -- prediction ---------------------------------------------------------

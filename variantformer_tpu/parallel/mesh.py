@@ -67,16 +67,44 @@ def param_specs(params) -> dict:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def batch_specs(batch: Seq2GeneBatch) -> Seq2GeneBatch:
-    """Donor-leading arrays shard over "data"; tissue ids replicate."""
+def batch_specs(
+    batch: Seq2GeneBatch, partition: str = "donor"
+) -> Seq2GeneBatch:
+    """PartitionSpecs for one device batch.
 
-    def spec_for(name, leaf):
+    partition="donor" (default): donor-leading arrays shard over "data",
+    tissue ids replicate — classic DP over donors/genes.
+
+    partition="tissue": single-donor scale-out (SURVEY §2.3's sequence-
+    parallel option). ``tissue_ids`` shards over "data" so GSPMD propagates
+    the shard through the per-tissue gene-stream fan-out — the FLOPs bulk
+    (the [D, T, G1, E] gene stack; per-tissue streams never mix, so this is
+    exact parallelism) — while the window axes of the token arrays shard the
+    encoder stage over the same devices (XLA all-gathers window embeddings
+    where the CRE stack attends across windows). Use when D is too small to
+    fill the mesh (e.g. one donor, genome-wide sweep)."""
+    if partition not in ("donor", "tissue"):
+        raise ValueError(f"unknown batch partition {partition!r}")
+
+    def donor_spec(name, leaf):
         if leaf is None:
             return None
         if name == "tissue_ids":
             return P()
         return P("data", *([None] * (leaf.ndim - 1)))
 
+    def tissue_spec(name, leaf):
+        if leaf is None:
+            return None
+        if name == "tissue_ids":
+            return P("data")
+        if name in ("cre_tokens", "gene_tokens"):
+            return P(None, "data", None)
+        if name in ("cre_tok_len", "gene_tok_len", "cre_labels"):
+            return P(None, "data")
+        return P()  # counts + VEP positions replicate
+
+    spec_for = donor_spec if partition == "donor" else tissue_spec
     return Seq2GeneBatch(
         **{name: spec_for(name, getattr(batch, name)) for name in batch._fields}
     )
@@ -89,16 +117,53 @@ def shard_params(params, mesh: Mesh):
     )
 
 
-def shard_batch(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
-    specs = batch_specs(batch)
+def shard_batch(
+    batch: Seq2GeneBatch, mesh: Mesh, partition: str = "donor"
+) -> Seq2GeneBatch:
+    specs = batch_specs(batch, partition)
     vals = {}
     for name in batch._fields:
         leaf = getattr(batch, name)
         spec = getattr(specs, name)
+        if leaf is not None:
+            # device_put rejects uneven shards; replicate such leaves
+            # instead (correct, just less parallel). pad_tissue_axis()
+            # gives callers the evenly-sharded fast path.
+            for i, axis in enumerate(spec):
+                if axis is not None and leaf.shape[i] % mesh.shape[axis]:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "shard_batch: %s dim %d (%d) not divisible by mesh "
+                        "axis %r (%d); replicating",
+                        name, i, leaf.shape[i], axis, mesh.shape[axis],
+                    )
+                    spec = P()
+                    break
         vals[name] = (
             None if leaf is None else jax.device_put(leaf, NamedSharding(mesh, spec))
         )
     return Seq2GeneBatch(**vals)
+
+
+def pad_tissue_axis(
+    batch: Seq2GeneBatch, mesh: Mesh
+) -> tuple[Seq2GeneBatch, int]:
+    """Pad ``tissue_ids`` (repeating the last id) to a multiple of the
+    "data" axis so ``shard_batch(partition="tissue")`` shards it evenly.
+    Returns the padded batch and the ORIGINAL tissue count — slice model
+    outputs back to ``[:, :t]``."""
+    t = batch.tissue_ids.shape[0]
+    data = mesh.shape["data"]
+    pad = (-t) % data
+    if pad == 0:
+        return batch, t
+    import jax.numpy as jnp
+
+    padded = jnp.concatenate(
+        [batch.tissue_ids, jnp.repeat(batch.tissue_ids[-1:], pad)]
+    )
+    return batch._replace(tissue_ids=padded), t
 
 
 def shard_train_state(state, mesh: Mesh):
