@@ -539,3 +539,65 @@ def test_step_plateau_mode_feeds_loss():
 
     scale = find_scale(state.opt_state)
     assert scale is not None and scale > 0.9
+
+
+def test_classification_metrics_reference_semantics():
+    """Per-class F1 + acc with the reference's naming scheme
+    (seq2reg/model.py:355-436): classes with no true samples are skipped,
+    per-tissue blocks prefix the tissue name, commas are stripped."""
+    from variantformer_tpu.train.metrics import (
+        classification_metrics,
+        per_class_f1,
+    )
+
+    labels = np.array([0, 0, 1, 1, 1, 2])
+    preds = np.array([0, 1, 1, 1, 0, 2])
+    f1 = per_class_f1(preds, labels, num_classes=4)
+    assert set(f1) == {0, 1, 2}  # class 3 absent -> skipped
+    # class 0: tp=1 fp=1 fn=1 -> P=R=0.5 -> F1=0.5
+    assert abs(f1[0] - 0.5) < 1e-9
+    # class 2: perfect
+    assert f1[2] == 1.0
+
+    m = classification_metrics(
+        preds, labels, class_names=["PLS", "pELS,dELS", "CTCF", "DNase"],
+        tissue_ids=np.array([0, 0, 0, 1, 1, 1]),
+        tissue_names={0: "liver", 1: "lung"},
+    )
+    assert abs(m["val_acc"] - 4 / 6) < 1e-9
+    assert "val_f1_class_pELSdELS" in m  # comma stripped
+    assert "liver_val_acc" in m and "lung_val_acc" in m
+    # liver block has no class-2 samples -> no liver CTCF F1
+    assert "liver_val_f1_class_CTCF" not in m
+    assert "lung_val_f1_class_CTCF" in m
+
+
+def test_seq2reg_eval_metrics_end_to_end(tmp_path):
+    """make_seq2reg_eval_metrics runs the classifier over shard batches and
+    returns the flat metric dict."""
+    from variantformer_tpu.config import ModelConfig, WindowEncoderConfig
+    from variantformer_tpu.models.init import init_window_encoder
+    from variantformer_tpu.train.loop import seq2reg_shard_batches
+    from variantformer_tpu.train.metrics import make_seq2reg_eval_metrics
+    from variantformer_tpu.train.steps import TrainState
+
+    wcfg = WindowEncoderConfig(
+        vocab_size=32, embedding_dim=32, num_heads=4, num_layers=1,
+        ffn_hidden_dim=64, token_length=16, num_tissues=2, num_classes=2,
+    )
+    cfg = ModelConfig(window_encoder=wcfg)
+    _write_seq2reg_shards(tmp_path / "shards")
+    params = init_window_encoder(jax.random.key(0), wcfg)
+    state = TrainState(params, None, jnp.zeros((), jnp.int32))
+
+    metrics_fn = make_seq2reg_eval_metrics(
+        cfg,
+        seq2reg_shard_batches(
+            tmp_path / "shards", {"liver": 1}, split="test", shuffle=False
+        ),
+        class_names=["class0", "class1"],
+        tissue_names={1: "liver"},
+    )
+    m = metrics_fn(state)
+    assert 0.0 <= m["val_acc"] <= 1.0
+    assert "liver_val_acc" in m
