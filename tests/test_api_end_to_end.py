@@ -230,3 +230,110 @@ def test_vep_end_to_end(fixture_env, tmp_path):
     expected = np.log2((hom + 1e-10) / (ref0 + 1e-10))
     got = eqtl["VF-REF_HG38-2-exp-log2fc"].to_numpy()
     np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-6)
+
+
+def test_vep_six_population_end_to_end(fixture_env, tmp_path, monkeypatch):
+    """The 6-population mode (no sample VCF): per-population precomputed
+    sequences load through the manifest layer (synthesized artifacts under
+    VFX_ARTIFACTS_DIR, the reference's cres_seqs/genes_seqs manifest
+    contract), the long frame carries all six populations x 3 zygosities,
+    and a population whose precomputed sequence carries the variant allele
+    predicts differently from REF_HG38 (proof the per-population sequences
+    are actually consumed)."""
+    from variantformer_tpu.api.variantprocessor import POPULATIONS
+
+    seq = fixture_env["seq"]
+    cfg = _tiny_cfg(vocab_size=500)
+    nb, up, down = 5, 20, 400
+
+    # Variant inside GENEPLUS's third CRE (700-760) AND its gene window.
+    pos = 721  # 1-based; sequence index 720
+    ref = seq[720]
+    alt = {"A": "G", "C": "T", "G": "A", "T": "C"}[ref]
+
+    arts = tmp_path / "arts"
+    geno = arts / "model" / "common" / "reference_genomes"
+    geno.mkdir(parents=True)
+    monkeypatch.setenv("VFX_ARTIFACTS_DIR", str(arts))
+
+    genes = {
+        # gene_id -> (strand, gene start/end, CRE (start, end, class) rows)
+        "GENEPLUS.1": ("+", 500, 1400,
+                       [(100, 160, "PLS"), (300, 380, "dELS"),
+                        (700, 760, "pELS")]),
+        "GENEMINUS.1": ("-", 1600, 2500,
+                        [(1700, 1780, "PLS,CTCF-bound"), (2600, 2660, "dELS")]),
+    }
+
+    # EUR's haplotype differs from hg38 at a BACKGROUND site (not the
+    # queried variant): that background must flow into EUR's predictions.
+    bg_pos = 710
+    bg_alt = {"A": "C", "C": "G", "G": "T", "T": "A"}[seq[bg_pos - 1]]
+
+    def pop_seq(pop: str, lo: int, hi: int) -> str:
+        s = seq[lo:hi]
+        if pop == "EUR" and lo < bg_pos <= hi:
+            i = bg_pos - lo - 1
+            s = s[:i] + bg_alt + s[i + 1 :]
+        return s
+
+    cre_rows, gene_rows = [], []
+    for pop in POPULATIONS:
+        pop_sample = "hg38" if pop == "REF_HG38" else pop
+        # one per-chromosome CRE pickle per population
+        rows = []
+        for gid, (strand, gs, ge, cres) in genes.items():
+            for lo, hi, name in cres:
+                lo, hi = lo - nb, hi + nb
+                rows.append({
+                    "start": lo, "end": hi, "cre_name": name,
+                    f"{pop_sample}_sequence":
+                        f"{pop_seq(pop_sample, lo, hi)},revcomp-unused",
+                })
+        pkl = geno / f"chr1_{pop}.pkl.gz"
+        pd.DataFrame(rows).sort_values("start").to_pickle(
+            pkl, compression="gzip"
+        )
+        cre_rows.append({"chromosome": "chr1", "population": pop,
+                         "file_path": str(pkl)})
+        # one gene npz per (gene, population), precomputed window arithmetic
+        for gid, (strand, gs, ge, _) in genes.items():
+            if strand == "-":
+                w0, w1 = max(gs, ge - down), ge + up
+            else:
+                w0, w1 = max(0, gs - up), min(ge, gs + down)
+            npz = geno / f"{gid}_{pop}.npz"
+            np.savez(npz, sequence=f"{pop_seq(pop_sample, w0, w1)},rev-unused")
+            gene_rows.append({"gene_id": gid, "population": pop,
+                              "file_path": str(npz)})
+    pd.DataFrame(cre_rows).to_parquet(geno / "cres_seqs_manifest.parquet")
+    pd.DataFrame(gene_rows).to_parquet(geno / "genes_seqs_manifest.parquet")
+
+    vp = VariantProcessor(sources=fixture_env["sources"], config=cfg)
+    vp.set_params(init_seq2gene(jax.random.key(1), cfg))
+    var_df = pd.DataFrame(
+        {"chrom": ["chr1"], "pos": [pos], "ref": [ref], "alt": [alt],
+         "tissue": ["tissue0,tissue2"]}
+    )
+    df = vp.predict(var_df, str(tmp_path / "vep_pop_out"))
+
+    assert set(df["population"]) == set(POPULATIONS)
+    # zygosity-0 rows are kept only for REF_HG38 (reference
+    # variantprocessor.py:432-436 drops the rest before the pivot)
+    assert set(df.loc[df["zygosity"] == "0", "population"]) == {"REF_HG38"}
+    scores = vp.format_scores(df)
+    assert "REF_HG38-0-exp" in scores.columns
+    for pop in POPULATIONS:
+        assert f"{pop}-1-exp" in scores.columns, pop
+        assert f"{pop}-2-exp" in scores.columns, pop
+    plus = scores[scores["genes"] == "GENEPLUS.1"]
+    for zyg in ("1", "2"):
+        refz = plus[f"REF_HG38-{zyg}-exp"].to_numpy()
+        # AFR shares the hg38 haplotype -> identical predictions; EUR's
+        # background site must shift them (per-population sequences are
+        # actually consumed, not silently falling back to hg38).
+        np.testing.assert_allclose(
+            plus[f"AFR-{zyg}-exp"].to_numpy(), refz, rtol=1e-5, atol=1e-6
+        )
+        assert not np.allclose(plus[f"EUR-{zyg}-exp"].to_numpy(), refz,
+                               rtol=1e-4)
