@@ -337,3 +337,54 @@ def test_vep_six_population_end_to_end(fixture_env, tmp_path, monkeypatch):
         )
         assert not np.allclose(plus[f"EUR-{zyg}-exp"].to_numpy(), refz,
                                rtol=1e-4)
+
+
+def test_vep_batched_dispatch_matches_single(fixture_env, tmp_path):
+    """variants_per_dispatch=3 (D=9 per device call) must reproduce the
+    per-variant (D=3) predictions — variant batching only amortizes
+    dispatch latency, never changes the math."""
+    import dataclasses
+
+    from variantformer_tpu.config import PrecisionPolicy
+
+    seq = fixture_env["seq"]
+    cfg = dataclasses.replace(
+        _tiny_cfg(vocab_size=500),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    # Three SNPs inside GENEPLUS CREs/gene body at distinct positions.
+    rows = []
+    for pos in (321, 721, 755):
+        ref = seq[pos - 1]
+        rows.append({
+            "chrom": "chr1", "pos": pos, "ref": ref,
+            "alt": {"A": "G", "C": "T", "G": "A", "T": "C"}[ref],
+            "tissue": "tissue0,tissue2",
+        })
+    var_df = pd.DataFrame(rows)
+
+    def run(out_name, k):
+        vp = VariantProcessor(sources=fixture_env["sources"], config=cfg)
+        vp.set_params(init_seq2gene(jax.random.key(1), cfg))
+        df = vp.predict(
+            var_df, str(tmp_path / out_name),
+            vcf_path=fixture_env["vcf"], sample_name="S1",
+            variants_per_dispatch=k,
+        )
+        return df.sort_values(
+            ["pos", "genes", "tissues", "population", "zygosity"]
+        ).reset_index(drop=True)
+
+    single = run("single", 1)
+    batched = run("batched", 3)
+    assert len(single) == len(batched) and len(single) > 0
+    np.testing.assert_allclose(
+        batched["gene_exp"].to_numpy(float),
+        single["gene_exp"].to_numpy(float),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.stack(batched["gene_emb"].to_list()).astype(float),
+        np.stack(single["gene_emb"].to_list()).astype(float),
+        rtol=1e-4, atol=1e-5,
+    )
