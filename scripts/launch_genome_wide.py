@@ -44,6 +44,13 @@ def main():
                          "(DP over 'data' x head/FFN TP over 'model' via "
                          "VCFProcessor.use_mesh); without it each forward "
                          "runs single-device")
+    ap.add_argument("--partition", default="donor",
+                    choices=("donor", "tissue"),
+                    help="batch axis sharded over 'data' with --mesh: "
+                         "'donor' (default) or 'tissue' (single-donor "
+                         "scale-out — the per-tissue gene fan-out and the "
+                         "window axes shard instead; pick when the tissue "
+                         "list is wide and batches are donor-thin)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); needed on rigs "
                          "whose sitecustomize overrides JAX_PLATFORMS")
@@ -98,7 +105,9 @@ def main():
 
         from variantformer_tpu.parallel.mesh import make_mesh
 
-        proc.use_mesh(make_mesh(devices=jax.local_devices()))
+        proc.use_mesh(
+            make_mesh(devices=jax.local_devices()), partition=args.partition
+        )
 
     gencode = proc.get_genes()
     genes = (
