@@ -18,17 +18,19 @@ SCATTER_HTML = "/tmp/vcf2embed_scatter.html"
 
 
 def project_2d(embeddings: np.ndarray) -> np.ndarray:
-    try:
-        import umap  # type: ignore
+    if len(embeddings) >= 4:  # UMAP needs n_neighbors >= 2 points of context
+        try:
+            import umap  # type: ignore
 
-        return umap.UMAP(
-            n_components=2, n_neighbors=min(30, len(embeddings) - 1),
-            min_dist=0.05,
-        ).fit_transform(embeddings)  # reference's UMAP config (vcf2embed.py:258-262)
-    except ImportError:
-        centered = embeddings - embeddings.mean(0)
-        _, _, vt = np.linalg.svd(centered, full_matrices=False)
-        return centered @ vt[:2].T
+            return umap.UMAP(
+                n_components=2, n_neighbors=min(30, len(embeddings) - 1),
+                min_dist=0.05,
+            ).fit_transform(embeddings)  # reference config (vcf2embed.py:258-262)
+        except ImportError:
+            pass
+    centered = embeddings - embeddings.mean(0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    return centered @ vt[:2].T
 
 
 def kmeans(x: np.ndarray, k: int, iters: int = 25, seed: int = 0) -> np.ndarray:

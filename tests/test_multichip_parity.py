@@ -315,13 +315,17 @@ def test_tissue_sharded_forward_matches_single_device():
     is the motivating workload (one donor, mesh full)."""
     cfg = _near_real_cfg()
     params = init_seq2gene(jax.random.key(0), cfg)
-    batch = _example_batch(d=1, c=12, g=6, length=12, t=5, vocab=64)
+    # Odd C/G/T so pad_tissue_axis must pad ALL partition axes (window
+    # padding rides the count-mask contract; outputs stay [D, T]-sliceable).
+    batch = _example_batch(d=1, c=13, g=7, length=12, t=5, vocab=64)
 
     single = seq2gene_forward(params, batch, cfg)
 
     m = pmesh.make_mesh(devices=jax.devices()[:8])
     padded, t = pmesh.pad_tissue_axis(batch, m)
     assert t == 5 and padded.tissue_ids.shape[0] == 6  # data axis = 2
+    assert padded.cre_tokens.shape[1] == 14
+    assert padded.gene_tokens.shape[1] == 8
     sharded_out = pmesh.sharded_forward(cfg, m)(
         pmesh.shard_params(params, m),
         pmesh.shard_batch(padded, m, partition="tissue"),

@@ -441,33 +441,42 @@ def test_process_split_equal_batches(tmp_path):
 
 def test_legacy_shard_tissue_recovery(tmp_path):
     """Shards without a 'tissue' npz key recover it from the
-    {subject}_{tissue}_{chrom}_chunk_{n} filename even when subject AND
-    tissue names contain underscores (longest vocab suffix match)."""
+    {subject}_{tissue}_{chrom}_chunk_{n} filename when exactly one vocab
+    key matches; ambiguity or no match raises instead of silently training
+    against the wrong tissue embedding."""
     from variantformer_tpu.train.loop import seq2reg_shard_batches
+
+    def write(name):
+        rng = np.random.default_rng(0)
+        np.savez(
+            name,
+            tokens=rng.integers(4, 16, (4, 8)).astype(np.int32),
+            tok_len=np.full(4, 8, np.int32),
+            ref_class=np.zeros(4, np.int32),
+            tissue_class=np.zeros(4, np.int32),
+        )
 
     out = tmp_path / "train"
     out.mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    np.savez(
-        out / "HG_00096_adipose_subcutaneous_chr1_chunk_0.npz",
-        tokens=rng.integers(4, 16, (4, 8)).astype(np.int32),
-        tok_len=np.full(4, 8, np.int32),
-        ref_class=np.zeros(4, np.int32),
-        tissue_class=np.zeros(4, np.int32),
-    )
-    vocab = {"subcutaneous": 7, "adipose_subcutaneous": 3, "liver": 1}
+    write(out / "HG_00096_adipose_subcutaneous_chr1_chunk_0.npz")
+    vocab = {"adipose_subcutaneous": 3, "liver": 1}
     batches = seq2reg_shard_batches(tmp_path, vocab)
     (_, _, _, tissue_ids, _), = list(batches(0))
-    assert int(tissue_ids[0]) == 3  # longest match, not '00096' or suffix
+    assert int(tissue_ids[0]) == 3  # underscores in subject AND tissue
+
+    # Ambiguous: both 'lung' and 'upper_lung' suffix-match -> loud error.
+    write(out / "HG_upper_lung_chr1_chunk_0.npz")
+    batches = seq2reg_shard_batches(
+        tmp_path,
+        {"adipose_subcutaneous": 3, "lung": 2, "upper_lung": 5},
+        shuffle=False,
+    )
+    with pytest.raises(ValueError, match="unambiguously"):
+        list(batches(0))
+    (out / "HG_upper_lung_chr1_chunk_0.npz").unlink()
 
     # Unrecoverable name -> clear error, not KeyError/wrong tissue.
-    np.savez(
-        out / "S1_unknowntissue_chr1_chunk_0.npz",
-        tokens=rng.integers(4, 16, (4, 8)).astype(np.int32),
-        tok_len=np.full(4, 8, np.int32),
-        ref_class=np.zeros(4, np.int32),
-        tissue_class=np.zeros(4, np.int32),
-    )
+    write(out / "S1_unknowntissue_chr1_chunk_0.npz")
     batches = seq2reg_shard_batches(tmp_path, vocab, shuffle=False)
     with pytest.raises(ValueError, match="cannot recover"):
         list(batches(0))

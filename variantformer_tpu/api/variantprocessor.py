@@ -228,10 +228,32 @@ class VariantProcessor:
 
         if variants_per_dispatch is None:
             variants_per_dispatch = int(os.environ.get("VFX_VEP_BATCH", "1"))
+        k = max(1, variants_per_dispatch)
+        bucket_step, gene_cap = 64, self.config.dataset.max_chunks
+        predictions: list[dict | None] = [None] * len(self.gene_variant_pairs)
+
+        # Stream build -> grouped dispatch: triples buffer per group key
+        # (same tissue list + position presence + bucketed shape, so a
+        # chunk shares one compiled executable and pads like with like)
+        # and flush every k — peak memory is O(k x live groups), not
+        # O(all variants).
+        buffers: dict[tuple, list[tuple[int, object]]] = {}
+
+        def flush(key: tuple) -> None:
+            idxs_samples = buffers.pop(key, [])
+            if not idxs_samples:
+                return
+            outs = self._forward_triples(
+                [s for _, s in idxs_samples], list(key[0])
+            )
+            for (i, sample), out in zip(idxs_samples, outs):
+                predictions[i] = dict(
+                    variant_type=sample.variant_type, out=out
+                )
+
         builders: dict[str | None, VepSampleBuilder] = {}
         manifests = None
-        built = []
-        for pair in self.gene_variant_pairs:
+        for pair_index, pair in enumerate(self.gene_variant_pairs):
             pvcf = pair["vcf_path"]
             if pvcf not in builders:
                 builders[pvcf] = self._vep_builder(pvcf)
@@ -262,33 +284,25 @@ class VariantProcessor:
                     )
                 else:
                     raise
-            built.append((pair, sample))
-
-        # Group triples that share a compiled shape/contract (same tissue
-        # list, same position presence) and dispatch k at a time.
-        predictions: list[dict | None] = [None] * len(built)
-        groups: dict[tuple, list[int]] = {}
-        for i, (pair, sample) in enumerate(built):
             if not sample.samples:
-                predictions[i] = dict(variant_type=sample.variant_type, out=None)
+                predictions[pair_index] = dict(
+                    variant_type=sample.variant_type, out=None
+                )
                 continue
+            c = max(s.cre_tokens.shape[0] for s in sample.samples)
+            g = max(s.gene_tokens.shape[0] for s in sample.samples)
             key = (
                 tuple(pair["variant"].tissue),
                 bool(np.isnan(sample.cre_token_position)),
-                any(np.isnan(g) for g in sample.gene_token_positions),
+                any(np.isnan(gp) for gp in sample.gene_token_positions),
+                -(-c // bucket_step) * bucket_step,
+                gene_cap if g == gene_cap else -(-g // bucket_step) * bucket_step,
             )
-            groups.setdefault(key, []).append(i)
-        k = max(1, variants_per_dispatch)
-        for (tissues, _, _), idxs in groups.items():
-            for lo in range(0, len(idxs), k):
-                chunk = idxs[lo : lo + k]
-                outs = self._forward_triples(
-                    [built[i][1] for i in chunk], list(tissues)
-                )
-                for i, out in zip(chunk, outs):
-                    predictions[i] = dict(
-                        variant_type=built[i][1].variant_type, out=out
-                    )
+            buffers.setdefault(key, []).append((pair_index, sample))
+            if len(buffers[key]) >= k:
+                flush(key)
+        for key in list(buffers):
+            flush(key)
 
         df = self.compile_predictions(
             predictions, output_dir, vcf_path=vcf_path, out_file=out_file

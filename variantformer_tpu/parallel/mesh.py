@@ -131,13 +131,16 @@ def shard_batch(
             # gives callers the evenly-sharded fast path.
             for i, axis in enumerate(spec):
                 if axis is not None and leaf.shape[i] % mesh.shape[axis]:
-                    import logging
+                    key = (name, i, leaf.shape[i], mesh.shape[axis])
+                    if key not in _UNEVEN_WARNED:  # once per shape, not per forward
+                        _UNEVEN_WARNED.add(key)
+                        import logging
 
-                    logging.getLogger(__name__).warning(
-                        "shard_batch: %s dim %d (%d) not divisible by mesh "
-                        "axis %r (%d); replicating",
-                        name, i, leaf.shape[i], axis, mesh.shape[axis],
-                    )
+                        logging.getLogger(__name__).warning(
+                            "shard_batch: %s dim %d (%d) not divisible by "
+                            "mesh axis %r (%d); replicating",
+                            name, i, leaf.shape[i], axis, mesh.shape[axis],
+                        )
                     spec = P()
                     break
         vals[name] = (
@@ -146,24 +149,45 @@ def shard_batch(
     return Seq2GeneBatch(**vals)
 
 
+_UNEVEN_WARNED: set = set()
+
+
 def pad_tissue_axis(
     batch: Seq2GeneBatch, mesh: Mesh
 ) -> tuple[Seq2GeneBatch, int]:
-    """Pad ``tissue_ids`` (repeating the last id) to a multiple of the
-    "data" axis so ``shard_batch(partition="tissue")`` shards it evenly.
-    Returns the padded batch and the ORIGINAL tissue count — slice model
-    outputs back to ``[:, :t]``."""
-    t = batch.tissue_ids.shape[0]
-    data = mesh.shape["data"]
-    pad = (-t) % data
-    if pad == 0:
-        return batch, t
+    """Pad every "tissue"-partition axis to a multiple of the "data" axis so
+    ``shard_batch(partition="tissue")`` shards it evenly rather than falling
+    back to replication: ``tissue_ids`` (repeating the last id) AND the CRE/
+    gene window axes (zero windows — the same suffix-pad-beyond-count
+    contract ``pack_samples`` already establishes; ``cre_count``/
+    ``gene_count`` keep masking them out). Returns the padded batch and the
+    ORIGINAL tissue count — slice model outputs back to ``[:, :t]``; window
+    padding never changes output shapes."""
     import jax.numpy as jnp
 
-    padded = jnp.concatenate(
-        [batch.tissue_ids, jnp.repeat(batch.tissue_ids[-1:], pad)]
-    )
-    return batch._replace(tissue_ids=padded), t
+    t = batch.tissue_ids.shape[0]
+    data = mesh.shape["data"]
+    pad_t = (-t) % data
+    repl = {}
+    if pad_t:
+        repl["tissue_ids"] = jnp.concatenate(
+            [batch.tissue_ids, jnp.repeat(batch.tissue_ids[-1:], pad_t)]
+        )
+    for tokens_name, len_name, extra in (
+        ("cre_tokens", "cre_tok_len", "cre_labels"),
+        ("gene_tokens", "gene_tok_len", None),
+    ):
+        n = getattr(batch, tokens_name).shape[1]
+        pad = (-n) % data
+        if pad == 0:
+            continue
+        for name in (tokens_name, len_name, extra):
+            if name is None:
+                continue
+            leaf = getattr(batch, name)
+            widths = [(0, 0), (0, pad)] + [(0, 0)] * (leaf.ndim - 2)
+            repl[name] = jnp.pad(leaf, widths)
+    return (batch._replace(**repl) if repl else batch), t
 
 
 def shard_train_state(state, mesh: Mesh):

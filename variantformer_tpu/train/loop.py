@@ -287,19 +287,26 @@ def seq2reg_shard_batches(
             else:
                 # Older shards: recover the tissue from the
                 # {subject}_{tissue}_{chrom}_chunk_{n} name. Subject and
-                # tissue names may themselves contain underscores, so match
-                # the longest vocab key that the middle section ends with.
+                # tissue names may themselves contain underscores, so the
+                # name is only trustworthy when exactly ONE vocab key
+                # matches as the middle section's suffix — e.g. subject
+                # "HG_upper" + tissue "lung" vs tissue "upper_lung" are
+                # indistinguishable, and guessing would silently train
+                # against the wrong tissue embedding.
                 middle = "_".join(files[i].stem.split("_")[:-3])
                 hits = [
                     t for t in tissue_vocab
                     if middle == t or middle.endswith("_" + t)
                 ]
-                if not hits:
+                if len(hits) != 1:
                     raise ValueError(
-                        f"cannot recover a vocab tissue from shard name "
-                        f"{files[i].name!r}"
+                        f"cannot {'recover a' if not hits else 'unambiguously pick the'} "
+                        f"vocab tissue from legacy shard name "
+                        f"{files[i].name!r} (matches: {sorted(hits)}); "
+                        "re-write the shards with the current "
+                        "Seq2RegShardWriter, which embeds a 'tissue' key"
                     )
-                tissue = max(hits, key=len)
+                tissue = hits[0]
             tid = tissue_vocab[tissue]
             n = z["tokens"].shape[0]
             yield (
@@ -343,15 +350,27 @@ def seq2gene_shard_batches(
 
     shard_dir = Path(shard_dir)
     files = sorted(shard_dir.glob("*__*.npz"))
-    if process_split is not None:
-        # Truncate to a multiple of process_count BEFORE the round-robin
-        # split so every host sees the same number of local batches — a
-        # host with one extra batch would enqueue a global collective the
-        # others never join (DCN deadlock at epoch end).
-        pi, pc = process_split
-        files = files[pi : len(files) - len(files) % pc : pc]
     if not files:
         raise FileNotFoundError(f"no seq2gene shards under {shard_dir}")
+    if process_split is not None:
+        # Every host must see the SAME number of local batches — a host
+        # with one extra batch would enqueue a global collective the others
+        # never join (DCN deadlock at epoch end) — so each epoch's globally
+        # shared permutation is truncated to a multiple of process_count
+        # before the round-robin slice. With shuffle on, a DIFFERENT random
+        # remainder is dropped each epoch, so no shard is permanently
+        # excluded; without it, the trailing shards are (warned below).
+        pi, pc = process_split
+        if len(files) < pc:
+            raise ValueError(
+                f"{len(files)} shard(s) under {shard_dir} cannot feed "
+                f"{pc} processes one batch each"
+            )
+        if len(files) % pc and not shuffle:
+            log.warning(
+                "multi-host split drops the %d trailing shard(s) of %d "
+                "every epoch (shuffle=False)", len(files) % pc, len(files),
+            )
     tissue_arr = np.asarray(tissue_ids, np.int32)
     pos = {int(t): i for i, t in enumerate(tissue_arr)}
 
@@ -379,7 +398,13 @@ def seq2gene_shard_batches(
     def batches(epoch: int):
         order = np.arange(len(files))
         if shuffle:
+            # Same epoch seed on every host -> every host derives the same
+            # global permutation, so the round-robin slice below is a
+            # consistent partition of each epoch's batches.
             np.random.default_rng(epoch).shuffle(order)
+        if process_split is not None:
+            pi, pc = process_split
+            order = order[pi : len(order) - len(order) % pc : pc]
         for lo in range(0, len(order), batch_size):
             idx = list(order[lo : lo + batch_size])
             pad = batch_size - len(idx)

@@ -102,6 +102,16 @@ def make_seq2reg_eval_metrics(
         )
         return jnp.argmax(classify_windows(params, emb, tissue_ids), axis=-1)
 
+    def _host(x) -> np.ndarray:
+        # Multi-host runs globalize batches (shard_fn), so predictions and
+        # labels span other hosts' devices — np.asarray would raise on
+        # non-fully-addressable arrays. Gather the full array everywhere.
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
     def eval_metrics(state) -> dict[str, float]:
         preds, labels, tissues = [], [], []
         for b in batches_fn(0):
@@ -109,11 +119,11 @@ def make_seq2reg_eval_metrics(
                 b = shard_fn(tuple(b))
             tokens, tok_len, context, tissue_ids, y = b
             preds.append(
-                np.asarray(predict(state.params, tokens, tok_len, context,
-                                   tissue_ids))
+                _host(predict(state.params, tokens, tok_len, context,
+                              tissue_ids))
             )
-            labels.append(np.asarray(y))
-            tissues.append(np.asarray(tissue_ids))
+            labels.append(_host(y))
+            tissues.append(_host(tissue_ids))
         if not preds:
             raise ValueError("eval batches yielded nothing")
         return classification_metrics(
