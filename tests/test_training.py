@@ -610,3 +610,57 @@ def test_seq2reg_eval_metrics_end_to_end(tmp_path):
     m = metrics_fn(state)
     assert 0.0 <= m["val_acc"] <= 1.0
     assert "liver_val_acc" in m
+
+
+def test_gradient_accumulation():
+    """accumulate_steps=k: params move only every k micro-steps, and the
+    update equals one step on the k-averaged gradients; the plateau
+    ``value`` extra arg still threads through MultiSteps."""
+    from variantformer_tpu.config import ModelConfig, WindowEncoderConfig
+    from variantformer_tpu.models.init import init_window_encoder
+    from variantformer_tpu.train.steps import TrainState, make_seq2reg_train_step
+
+    wcfg = WindowEncoderConfig(
+        vocab_size=32, embedding_dim=32, num_heads=4, num_layers=1,
+        ffn_hidden_dim=64, token_length=16, num_tissues=2, num_classes=2,
+    )
+    cfg = ModelConfig(window_encoder=wcfg)
+    params = init_window_encoder(jax.random.key(0), wcfg)
+    tx = make_optimizer(params, learning_rate=3e-3, accumulate_steps=2)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_seq2reg_train_step(cfg, tx)
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 8).astype(np.int32)
+    tokens = np.where(
+        labels[:, None] == 0,
+        rng.integers(4, 16, (8, 16)),
+        rng.integers(16, 28, (8, 16)),
+    ).astype(np.int32)
+    args = (
+        jnp.asarray(tokens), jnp.full((8,), 16, jnp.int32),
+        jnp.zeros((8,), jnp.int32), jnp.ones((8,), jnp.int32),
+        jnp.asarray(labels),
+    )
+    def changed(a, b) -> bool:
+        return any(
+            not np.allclose(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    state1, _ = step(state, *args)
+    # first micro-step: accumulating, no real update anywhere in the tree
+    assert not changed(state1.params, params)
+    state2, _ = step(state1, *args)
+    # second micro-step: the real update fires
+    assert changed(state2.params, params)
+
+    # identical micro-batches -> averaged grad == single grad, so the
+    # accumulated update must equal one unaccumulated step
+    tx_plain = make_optimizer(params, learning_rate=3e-3)
+    sp = TrainState(params, tx_plain.init(params), jnp.zeros((), jnp.int32))
+    step_plain = make_seq2reg_train_step(cfg, tx_plain)
+    sp1, _ = step_plain(sp, *args)
+    for a, b in zip(jax.tree.leaves(sp1.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)

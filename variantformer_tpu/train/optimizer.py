@@ -81,6 +81,7 @@ def make_optimizer(
     plateau_factor: float = 0.5,
     min_scale: float = 1e-3,
     plateau: str = "epoch",
+    accumulate_steps: int = 1,
 ):
     """Returns an optax GradientTransformationExtraArgs; ``update`` takes a
     ``value=`` extra arg whose meaning depends on ``plateau``:
@@ -95,6 +96,12 @@ def make_optimizer(
         ``fit`` (which passes a ~1.0 scale as ``value``; reduce_on_plateau
         would read that as a never-improving loss and decay the LR to
         ``min_scale`` within patience*steps).
+
+    ``accumulate_steps > 1`` wraps the whole chain in ``optax.MultiSteps``:
+    gradients average over that many micro-batches before one real update —
+    the static-shape way to train at effective batch sizes the donor
+    buckets (or HBM) can't hold in one step. Plateau counters then tick per
+    REAL update, not per micro-step.
     """
     assert optimizer in ("adam", "adamw")
     assert plateau in ("step", "epoch")
@@ -116,8 +123,11 @@ def make_optimizer(
             factor=plateau_factor,
             min_scale=min_scale,
         )
-    return optax.chain(
+    tx = optax.chain(
         optax.masked(optax.set_to_zero(), frozen),  # hard-freeze tokenizers
         optax.masked(base, trainable),
         tail,
     )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
