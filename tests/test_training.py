@@ -664,3 +664,56 @@ def test_gradient_accumulation():
     for a, b in zip(jax.tree.leaves(sp1.params), jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_freeze_tokenizers_step_matches_and_runs_fused():
+    """freeze_tokenizers=True must (a) reproduce the default step's
+    trajectory exactly when paired with train_gene_tokenizer=False — the
+    stopped gradients are the ones the optimizer zeroed anyway — and (b)
+    admit the VJP-less fused encoder kernel in the training forward."""
+    from tests.test_model_smoke import tiny_batch, tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = tiny_batch(np.random.default_rng(0))
+    targets = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 3, (2, 3)), jnp.float32
+    )
+    mask = jnp.ones((2, 3), bool)
+
+    def run(**step_kwargs):
+        tx = make_optimizer(
+            params, learning_rate=3e-3, train_gene_tokenizer=False
+        )
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        step = make_seq2gene_train_step(cfg, tx, **step_kwargs)
+        losses = []
+        for _ in range(3):
+            state, loss = step(state, batch, targets, mask)
+            losses.append(float(loss))
+        return state, losses
+
+    base_state, base_losses = run()
+    frozen_state, frozen_losses = run(freeze_tokenizers=True)
+    np.testing.assert_allclose(frozen_losses, base_losses, rtol=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(base_state.params), jax.tree.leaves(frozen_state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
+                                   atol=1e-7)
+
+    # fused encoder in the training forward (interpreter on CPU): loss
+    # drops and tokenizers stay put.
+    fused_state, fused_losses = run(impl="fused", freeze_tokenizers=True)
+    assert fused_losses[-1] < fused_losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(fused_state.params["cre_tokenizer"]["token_embedding"]),
+        np.asarray(params["cre_tokenizer"]["token_embedding"]),
+    )
+
+    with pytest.raises(ValueError, match="freeze_tokenizers"):
+        make_seq2gene_train_step(cfg, None, impl="fused")
+    with pytest.raises(ValueError, match="training impl"):
+        make_seq2gene_train_step(cfg, None, impl="fused2")
