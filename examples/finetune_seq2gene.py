@@ -84,7 +84,9 @@ def main(root: str | None = None):
         params, learning_rate=3e-3, plateau="epoch", train_gene_tokenizer=False
     )
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step = make_seq2gene_train_step(cfg, tx)
+    # Tokenizers are frozen (the reference's training contract), so skip
+    # building their backward pass entirely.
+    step = make_seq2gene_train_step(cfg, tx, freeze_tokenizers=True)
     tissues = [proc.tissue_vocab["tissue0"], proc.tissue_vocab["tissue3"]]
     train_b = seq2gene_shard_batches(root / "shards", tissues, batch_size=2)
     val_b = seq2gene_shard_batches(
