@@ -717,3 +717,42 @@ def test_freeze_tokenizers_step_matches_and_runs_fused():
         make_seq2gene_train_step(cfg, None, impl="fused")
     with pytest.raises(ValueError, match="training impl"):
         make_seq2gene_train_step(cfg, None, impl="fused2")
+    # impl='fused' also incompatible with a TRAINABLE gene tokenizer
+    with pytest.raises(ValueError, match="train_gene_tokenizer"):
+        make_seq2gene_train_step(
+            cfg, None, impl="fused", freeze_tokenizers=True,
+            train_gene_tokenizer=True,
+        )
+
+
+def test_freeze_tokenizers_respects_trainable_gene_tokenizer():
+    """freeze_tokenizers=True with train_gene_tokenizer=True must keep the
+    gene tokenizer TRAINING (only the CRE tokenizer's backward is skipped)
+    — stopping its gradient while the optimizer still updates the subtree
+    would silently corrupt it."""
+    from tests.test_model_smoke import tiny_batch, tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = tiny_batch(np.random.default_rng(0))
+    targets = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 3, (2, 3)), jnp.float32
+    )
+    mask = jnp.ones((2, 3), bool)
+    tx = make_optimizer(params, learning_rate=3e-3, train_gene_tokenizer=True)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_seq2gene_train_step(
+        cfg, tx, freeze_tokenizers=True, train_gene_tokenizer=True
+    )
+    for _ in range(2):
+        state, _ = step(state, batch, targets, mask)
+    assert not np.allclose(
+        np.asarray(state.params["gene_tokenizer"]["token_embedding"]),
+        np.asarray(params["gene_tokenizer"]["token_embedding"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["cre_tokenizer"]["token_embedding"]),
+        np.asarray(params["cre_tokenizer"]["token_embedding"]),
+    )

@@ -37,12 +37,13 @@ def _register() -> None:
     from jax import export
 
     for cls in (Seq2GeneBatch, Seq2GeneOutput):
-        try:
-            export.register_namedtuple_serialization(
-                cls, serialized_name=f"variantformer_tpu.{cls.__name__}"
-            )
-        except ValueError:
-            pass  # already registered in this process
+        # A ValueError here means something else registered these classes
+        # under a different serialized name — artifacts would then carry a
+        # calling convention load_exported on other hosts can't match, so
+        # let it propagate rather than silently exporting with alien names.
+        export.register_namedtuple_serialization(
+            cls, serialized_name=f"variantformer_tpu.{cls.__name__}"
+        )
     _REGISTERED = True
 
 

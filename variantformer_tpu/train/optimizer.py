@@ -106,9 +106,12 @@ def make_optimizer(
     assert optimizer in ("adam", "adamw")
     assert plateau in ("step", "epoch")
     if optimizer == "adamw" or weight_decay:
+        # mask as a CALLABLE: under optax.masked the inner transform sees
+        # the pruned (trainable-only) tree, so the decay mask must be
+        # derived from whatever tree it is given, not pre-built here.
         base = optax.chain(
             optax.scale_by_adam(),
-            optax.add_decayed_weights(weight_decay, mask=decay_mask(params)),
+            optax.add_decayed_weights(weight_decay, mask=decay_mask),
             optax.scale_by_learning_rate(learning_rate),
         )
     else:
@@ -118,16 +121,25 @@ def make_optimizer(
     if plateau == "epoch":
         tail = scale_by_extra_value()
     else:
+        # accumulation_size averages the micro-step losses, so one plateau
+        # decision fires per REAL update on the k-window mean rather than
+        # on a single noisy micro-batch.
         tail = optax.contrib.reduce_on_plateau(
             patience=plateau_patience,
             factor=plateau_factor,
             min_scale=min_scale,
+            accumulation_size=accumulate_steps,
         )
-    tx = optax.chain(
+    core = base
+    if accumulate_steps > 1:
+        # Inside masked(trainable) so accumulator buffers exist only for
+        # trainable leaves — no HBM spent accumulating frozen-tokenizer
+        # gradients the chain would zero anyway. The plateau tail stays
+        # OUTSIDE: non-emit micro-steps carry zero updates (scale of zero
+        # is zero), and step-mode plateau ticks on the k-window average.
+        core = optax.MultiSteps(core, every_k_schedule=accumulate_steps)
+    return optax.chain(
         optax.masked(optax.set_to_zero(), frozen),  # hard-freeze tokenizers
-        optax.masked(base, trainable),
+        optax.masked(core, trainable),
         tail,
     )
-    if accumulate_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
-    return tx

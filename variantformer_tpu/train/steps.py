@@ -33,24 +33,29 @@ class TrainState(NamedTuple):
 
 def seq2gene_loss_fn(
     params, batch: Seq2GeneBatch, targets: jax.Array, target_mask: jax.Array,
-    cfg: ModelConfig, impl: str = "xla", stop_tokenizer_grads: bool = False,
+    cfg: ModelConfig, impl: str = "xla", stop_cre_grads: bool = False,
+    stop_gene_grads: bool = False,
 ):
     """targets/target_mask: [D, T] expression labels and validity.
 
-    ``stop_tokenizer_grads`` stops gradients at the tokenizer subtrees.
-    The reference always trains seq2gene with frozen tokenizers
-    (model_combined_modulator.py:462-471); without this, the step still
-    BUILDS the whole window-encoder backward (the encoding stage is ~1/3 of
+    ``stop_cre_grads``/``stop_gene_grads`` stop gradients at the tokenizer
+    subtrees. The reference always trains seq2gene with a frozen CRE
+    tokenizer (model_combined_modulator.py:462-471); without this, the step
+    still BUILDS the window-encoder backward (the encoding stage is ~1/3 of
     forward FLOPs) only for the optimizer to zero the result. Stopping the
-    gradient lets XLA dead-code-eliminate that backward — and makes the
-    non-differentiable fused encoder kernel legal in training
-    (``impl="fused"``), since no tangents enter it."""
-    if stop_tokenizer_grads:
+    gradient lets XLA dead-code-eliminate that backward — and with both
+    stopped, the non-differentiable fused encoder kernel becomes legal in
+    training (``impl="fused"``), since no tangents enter it."""
+    if stop_cre_grads or stop_gene_grads:
         params = dict(params)
-        params["cre_tokenizer"] = jax.lax.stop_gradient(params["cre_tokenizer"])
-        params["gene_tokenizer"] = jax.lax.stop_gradient(
-            params["gene_tokenizer"]
-        )
+        if stop_cre_grads:
+            params["cre_tokenizer"] = jax.lax.stop_gradient(
+                params["cre_tokenizer"]
+            )
+        if stop_gene_grads:
+            params["gene_tokenizer"] = jax.lax.stop_gradient(
+                params["gene_tokenizer"]
+            )
     out = seq2gene_forward(params, batch, cfg, impl=impl)
     pred = out.pred_expression
     if cfg.seq2gene.loss_fn == "poisson":
@@ -64,6 +69,7 @@ def seq2gene_loss_fn(
 def make_seq2gene_train_step(
     cfg: ModelConfig, tx: optax.GradientTransformation, plateau: str = "epoch",
     impl: str = "xla", freeze_tokenizers: bool = False,
+    train_gene_tokenizer: bool = False,
 ):
     """``plateau`` must match the mode the optimizer was built with
     (optimizer.py): it picks the default ``value`` fed to ``tx.update`` when
@@ -72,27 +78,33 @@ def make_seq2gene_train_step(
     ``reduce_on_plateau`` would count every step as non-improving and
     silently decay the LR to the floor).
 
-    ``freeze_tokenizers=True`` (pair with ``make_optimizer(...,
-    train_gene_tokenizer=False)``) skips building the window-encoder
-    backward entirely and allows ``impl="fused"`` — the fused-encoder
-    Pallas kernel in the training forward. ``impl`` other than "xla"
-    requires it (the kernels have no VJP)."""
+    ``freeze_tokenizers=True`` skips building the frozen tokenizers'
+    backward entirely; ``train_gene_tokenizer`` must MATCH the flag the
+    optimizer was built with (it decides whether the gene tokenizer's
+    gradient is stopped too — stopping it while the optimizer still
+    decays/updates that subtree would silently corrupt it). With both
+    tokenizers stopped, ``impl="fused"`` runs the fused-encoder Pallas
+    kernel in the training forward. ``impl`` other than "xla" requires
+    that (the kernels have no VJP)."""
     assert plateau in ("step", "epoch")
     if impl not in ("xla", "fused"):
         # fused2 would route the gene stack (whose params ARE trainable)
         # through the VJP-less fused modulator
         raise ValueError(f"training impl must be 'xla' or 'fused', got {impl!r}")
-    if impl == "fused" and not freeze_tokenizers:
+    if impl == "fused" and not (freeze_tokenizers and not train_gene_tokenizer):
         raise ValueError(
-            "impl='fused' requires freeze_tokenizers=True: the fused "
-            "encoder kernel has no backward pass"
+            "impl='fused' needs freeze_tokenizers=True and "
+            "train_gene_tokenizer=False: the fused encoder kernel encodes "
+            "both window sets and has no backward pass"
         )
 
     @jax.jit
     def step(state: TrainState, batch, targets, target_mask, plateau_value=None):
         loss, grads = jax.value_and_grad(seq2gene_loss_fn)(
             state.params, batch, targets, target_mask, cfg,
-            impl=impl, stop_tokenizer_grads=freeze_tokenizers,
+            impl=impl,
+            stop_cre_grads=freeze_tokenizers,
+            stop_gene_grads=freeze_tokenizers and not train_gene_tokenizer,
         )
         if plateau_value is None:
             plateau_value = loss if plateau == "step" else 1.0
