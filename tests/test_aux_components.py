@@ -432,3 +432,60 @@ def test_retry_fails_fast_on_permanent_errors():
     with pytest.raises(ImportError):
         retry_with_backoff(broken, timeout=60.0, initial_delay=0.5)
     assert len(calls) == 1 and time.monotonic() - t0 < 1.0
+
+
+def test_af_weighted_population_aggregation(tmp_path):
+    """merge_pop_stat + gene_pop_agg_score reproduce the reference's
+    AF-weighted eQTL aggregation (utils/functions.py:184-248) on a
+    synthetic 1KG table: weighted average over valid scores, '.' AFs
+    coerce to NaN (-> simple mean fallback), zero AFs -> simple mean,
+    all-NaN scores -> NaN."""
+    import pandas as pd
+
+    from variantformer_tpu.utils.scoring import (
+        gene_pop_agg_score,
+        merge_pop_stat,
+    )
+
+    pd.DataFrame(
+        {
+            "chr": ["chr1"] * 4,
+            "pos": [100, 200, 300, 400],
+            "ref": ["A"] * 4,
+            "alt": ["G"] * 4,
+            "AF_AFR": [0.1, ".", 0.0, 0.2],
+            "AF_AMR": [0.3, ".", 0.0, 0.2],
+            "AF_EAS": [".", ".", 0.0, 0.2],
+            "AF_EUR": [".", ".", 0.0, 0.2],
+            "AF_SAS": [".", ".", 0.0, 0.2],
+        }
+    ).to_csv(tmp_path / "1KG_hg38_af_chr1.tsv", sep="\t", index=False)
+
+    df = pd.DataFrame(
+        {
+            "chr": ["chr1"] * 4,
+            "pos": [100, 200, 300, 400],
+            "ref": ["A"] * 4,
+            "alt": ["G"] * 4,
+            "VF-AFR-2-exp-log2fc": [1.0, 1.0, 1.0, np.nan],
+            "VF-AMR-2-exp-log2fc": [2.0, 3.0, 3.0, np.nan],
+            "VF-EAS-2-exp-log2fc": [np.nan, np.nan, np.nan, np.nan],
+            "VF-EUR-2-exp-log2fc": [np.nan, np.nan, np.nan, np.nan],
+            "VF-SAS-2-exp-log2fc": [np.nan, np.nan, np.nan, np.nan],
+            "VF-REF_HG38-2-exp-log2fc": [9.0, 9.0, 9.0, 9.0],  # must be excluded
+        }
+    )
+    merged = merge_pop_stat(df, str(tmp_path))
+    assert np.isnan(merged.loc[1, "AF_AFR"])  # '.' -> NaN
+
+    score_cols = [c for c in df.columns if c.endswith("-log2fc")]
+    out = gene_pop_agg_score(merged, score_cols)
+    agg = out["VF-agg-log2fc-weighted"].to_numpy()
+    # row 0: weights AFR 0.1, AMR 0.3 -> (1*0.1 + 2*0.3)/0.4 = 1.75
+    assert abs(agg[0] - 1.75) < 1e-9
+    # row 1: AFs are '.' (NaN) -> simple mean of [1, 3] = 2
+    assert abs(agg[1] - 2.0) < 1e-9
+    # row 2: zero AFs -> simple mean of [1, 3] = 2
+    assert abs(agg[2] - 2.0) < 1e-9
+    # row 3: all scores NaN -> NaN
+    assert np.isnan(agg[3])
