@@ -489,3 +489,55 @@ def test_af_weighted_population_aggregation(tmp_path):
     assert abs(agg[2] - 2.0) < 1e-9
     # row 3: all scores NaN -> NaN
     assert np.isnan(agg[3])
+
+
+def test_poisson_and_log2fc_scores_population_mode(tmp_path):
+    """generate_{log2fc,poisson}_score in population mode (no SAMPLE
+    columns): per-population scores against REF_HG38 zygosity-0 plus the
+    AF-weighted aggregate column (reference utils/functions.py:251-354)."""
+    import pandas as pd
+    from scipy import stats
+
+    from variantformer_tpu.utils.scoring import (
+        generate_log2fc_score,
+        generate_poisson_score,
+    )
+
+    pd.DataFrame(
+        {
+            "chr": ["chr2"], "pos": [10], "ref": ["C"], "alt": ["T"],
+            "AF_AFR": [0.5], "AF_AMR": [0.5], "AF_EAS": [0.0],
+            "AF_EUR": [0.0], "AF_SAS": [0.0],
+        }
+    ).to_csv(tmp_path / "1KG_hg38_af_chr2.tsv", sep="\t", index=False)
+
+    df = pd.DataFrame(
+        {
+            "variant_id": ["chr2_10_C_T"], "genes": ["G1"], "tissues": ["liver"],
+            "chr": ["chr2"], "pos": [10], "ref": ["C"], "alt": ["T"],
+            "REF_HG38-0-exp": [2.0], "REF_HG38-2-exp": [4.0],
+            "AFR-2-exp": [4.0], "AMR-2-exp": [1.0], "EAS-2-exp": [2.0],
+            "EUR-2-exp": [2.0], "SAS-2-exp": [2.0],
+        }
+    )
+    out = generate_log2fc_score(df, str(tmp_path))
+    row = out.iloc[0]
+    assert abs(row["VF-AFR-2-exp-log2fc"] - 1.0) < 1e-6   # log2(4/2)
+    assert abs(row["VF-REF_HG38-2-exp-log2fc"] - 1.0) < 1e-6
+    # weighted agg over AFR (1.0, af .5) and AMR (-1.0, af .5), EAS/EUR/SAS 0 af
+    # -> zero-AF populations contribute weight 0: (1*.5 + (-1)*.5 + 0*0*3)/1.0 = 0
+    assert abs(row["VF-agg-log2fc-weighted"] - 0.0) < 1e-6
+
+    pout = generate_poisson_score(df, str(tmp_path)).iloc[0]
+    assert abs(
+        pout["VF-AFR-2-exp-Poisson"] - stats.poisson.cdf(4.0, 2.0)
+    ) < 1e-9
+    assert "VF-agg-Poisson-weighted" in pout.index
+
+    # SAMPLE mode: no aggregate, no AF table needed
+    sdf = df.rename(columns={"AFR-2-exp": "SAMPLE-2-exp"}).drop(
+        columns=["AMR-2-exp", "EAS-2-exp", "EUR-2-exp", "SAS-2-exp"]
+    )
+    sout = generate_log2fc_score(sdf, None)
+    assert "VF-SAMPLE-2-exp-log2fc" in sout.columns
+    assert not any(c.startswith("VF-agg") for c in sout.columns)
