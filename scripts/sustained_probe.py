@@ -7,8 +7,9 @@ BPE + packing, ThreadPoolExecutor workers) overlapped with device compute
 via api/sweeps.genome_wide_expression — on a full-production-scale
 synthetic workload: N genes, each with a 300 kb window (the max_chunks=200
 cap), ~350 CREs, and a donor VCF, through the full-size model at 54
-tissues. Shapes match bench.py's buckets (d=1, c=384, g=200), so the
-compilation cache is shared.
+tissues. Shapes match bench.py's buckets (d=4 dispatch groups, c=384,
+g=200); the device HLO differs from bench.py's pred-only jit (the
+processors jit the full Seq2GeneOutput), so warm both via warm_cache.py.
 
     python scripts/sustained_probe.py [--genes 12]
 """

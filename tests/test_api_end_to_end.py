@@ -340,9 +340,11 @@ def test_vep_six_population_end_to_end(fixture_env, tmp_path, monkeypatch):
 
 
 def test_vep_batched_dispatch_matches_single(fixture_env, tmp_path):
-    """variants_per_dispatch=3 (D=9 per device call) must reproduce the
+    """variants_per_dispatch=2 (D=6 per device call) must reproduce the
     per-variant (D=3) predictions — variant batching only amortizes
-    dispatch latency, never changes the math."""
+    dispatch latency, never changes the math. With 3 variants the second
+    group is partial (1 triple) and exercises the pad-to-canonical-k path
+    (outputs of the pad rows must be dropped, not mixed in)."""
     import dataclasses
 
     from variantformer_tpu.config import PrecisionPolicy
@@ -376,7 +378,7 @@ def test_vep_batched_dispatch_matches_single(fixture_env, tmp_path):
         ).reset_index(drop=True)
 
     single = run("single", 1)
-    batched = run("batched", 3)
+    batched = run("batched", 2)
     assert len(single) == len(batched) and len(single) > 0
     np.testing.assert_allclose(
         batched["gene_exp"].to_numpy(float),

@@ -54,6 +54,15 @@ def _bounded_map(pool, fn, items, limit: int):
         yield result
 
 
+def _pad_group(samples: list, target: int) -> list:
+    """Pad a dispatch group to its canonical donor count by repeating the
+    last sample. A partial trailing group would otherwise be a fresh device
+    shape — and every fresh shape is a fresh (multi-minute, on remote-compile
+    rigs) XLA/Mosaic compile plus a cache entry. Callers slice the pad rows
+    off the outputs; the wasted compute is bounded by one group per sweep."""
+    return samples + [samples[-1]] * (target - len(samples))
+
+
 def genome_wide_expression(
     processor,
     vcf_path: str | None,
@@ -138,7 +147,7 @@ def genome_wide_expression(
     def dispatch(samples):
         nonlocal in_flight
         with timer.stage("pack"):
-            batch = pack_samples(samples, tissue_ids)
+            batch = pack_samples(_pad_group(samples, batch_size), tissue_ids)
         with timer.stage("dispatch"):
             out = processor._forward(batch)
         if in_flight is not None:
@@ -205,7 +214,13 @@ def saturation_scan(
         gene_seq = builder._gene_sequence(gene_info)
         ref_sample = builder._tokenize(cre_df, gene_seq, gene_id)
     with timer.stage("device"):
-        ref_out = vp._vp._forward(pack_samples([ref_sample], tissue_ids))
+        # Padded to the scan batches' donor count so the one reference call
+        # shares their compiled executable instead of adding a D=1 shape.
+        ref_out = vp._vp._forward(
+            pack_samples(
+                _pad_group([ref_sample], 2 * variants_per_batch), tissue_ids
+            )
+        )
         ref_pred = np.asarray(ref_out.pred_expression)[0]  # [T]
 
     # Enumerate SNVs with their reference base.
@@ -237,21 +252,29 @@ def saturation_scan(
             # het (index 1) and hom (index 2) share the scan's ref
             batch_items.append((job, sample))
             if len(batch_items) >= variants_per_batch:
-                _score_scan_batch(vp, batch_items, tissue_ids, tissues, ref_pred, rows, timer)
+                _score_scan_batch(
+                    vp, batch_items, tissue_ids, tissues, ref_pred, rows,
+                    timer, variants_per_batch,
+                )
                 batch_items = []
         if batch_items:
-            _score_scan_batch(vp, batch_items, tissue_ids, tissues, ref_pred, rows, timer)
+            _score_scan_batch(
+                vp, batch_items, tissue_ids, tissues, ref_pred, rows,
+                timer, variants_per_batch,
+            )
     timer.log_summary("saturation-scan")
     return pd.DataFrame(rows)
 
 
-def _score_scan_batch(vp, items, tissue_ids, tissue_names, ref_pred, rows, timer):
+def _score_scan_batch(
+    vp, items, tissue_ids, tissue_names, ref_pred, rows, timer, batch_target
+):
 
     samples = []
     for _, vep_sample in items:
         samples.extend(vep_sample.samples[1:])  # het, hom
     with timer.stage("pack"):
-        batch = pack_samples(samples, tissue_ids)
+        batch = pack_samples(_pad_group(samples, 2 * batch_target), tissue_ids)
     with timer.stage("device"):
         out = vp._vp._forward(batch)
         preds = np.asarray(out.pred_expression)  # [2K, T]

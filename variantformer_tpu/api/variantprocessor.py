@@ -150,15 +150,24 @@ class VariantProcessor:
         )
         return VepSampleBuilder(base)
 
-    def _forward_triples(self, vep_samples: list, tissues: list[int]) -> list:
+    def _forward_triples(
+        self, vep_samples: list, tissues: list[int], pad_to: int | None = None
+    ) -> list:
         """Run k ref/het/hom triples through the model in ONE dispatch
         (D = 3k) and split the outputs back per triple. The reference's
         VEPDataset asserts batch_size==1 (collate_fn, vepdataset.py:32);
         batching variants here amortizes the fixed per-dispatch latency the
         same way donor batching does for vcf2exp. All triples in a group
-        share the tissue list and position-presence (the caller groups)."""
+        share the tissue list and position-presence (the caller groups).
+
+        ``pad_to`` pads a partial trailing group to the canonical k by
+        repeating the last triple (pad outputs dropped): a smaller D would
+        be a fresh device shape, i.e. a fresh multi-minute compile."""
         import jax.numpy as jnp
 
+        n_real = len(vep_samples)
+        if pad_to is not None and n_real < pad_to:
+            vep_samples = vep_samples + [vep_samples[-1]] * (pad_to - n_real)
         flat = [s for vs in vep_samples for s in vs.samples]
         batch = pack_samples(flat, tissues)
         first = vep_samples[0]
@@ -182,7 +191,7 @@ class VariantProcessor:
         out = self._vp._forward(batch)
         return [
             type(out)(*(leaf[3 * i : 3 * i + 3] for leaf in out))
-            for i in range(len(vep_samples))
+            for i in range(n_real)
         ]
 
     def _output_path(self, output_dir: str, chunks: int, chunk_id: int) -> str:
@@ -244,7 +253,7 @@ class VariantProcessor:
             if not idxs_samples:
                 return
             outs = self._forward_triples(
-                [s for _, s in idxs_samples], list(key[0])
+                [s for _, s in idxs_samples], list(key[0]), pad_to=k
             )
             for (i, sample), out in zip(idxs_samples, outs):
                 predictions[i] = dict(
