@@ -61,6 +61,8 @@ def main():
     rows = []
     for pos in np.linspace(12_000, 290_000, args.variants).astype(int):
         ref = fa.fetch("chr1", pos - 1, pos).upper()
+        if ref not in "ACGT":  # ambiguity codes in real FASTA (e.g. N)
+            continue
         rows.append(
             {"chrom": "chr1", "pos": int(pos), "ref": ref,
              "alt": flip[ref], "tissue": tissues}

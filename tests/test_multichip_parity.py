@@ -40,19 +40,7 @@ from __graft_entry__ import _example_batch
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _near_real_cfg():
-    """Real head count (32) and head-parallel geometry, reduced widths."""
-    return ModelConfig(
-        window_encoder=WindowEncoderConfig(
-            vocab_size=64, embedding_dim=64, num_heads=8, num_layers=2,
-            ffn_hidden_dim=128, token_length=12,
-        ),
-        seq2gene=Seq2GeneConfig(
-            emb_dim=512, gene_emb_dim=64, token_dim=64, num_heads=32,
-            num_layers=3, ffn_hidden_dim=512, num_tissues=63,
-        ),
-        precision=PrecisionPolicy(compute_dtype="float32"),
-    )
+from __graft_entry__ import near_real_cfg as _near_real_cfg  # noqa: E402
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
@@ -305,6 +293,104 @@ def test_use_mesh_sweep_matches_single_device(tmp_path):
         meshed["predicted_expression"].to_numpy(),
         rtol=2e-5, atol=2e-5,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_donor_dp_fused_forward_matches_single_device():
+    """Donor-DP via shard_map keeps the fused Pallas kernels intact per
+    device (interpreter mode on the CPU mesh): donors split over ALL 8
+    devices with replicated packed weights and zero collectives. Contract:
+    match the single-device fused2 forward — the kernels are bf16-internal,
+    so the only sharding-induced difference is window-block reassociation
+    (~5e-5 observed; fused-vs-XLA itself is ~6e-4, tests/test_fused_modulator
+    covers that)."""
+    from variantformer_tpu.ops.fused_modulator import pack_gene_layers
+
+    cfg = _near_real_cfg()
+    mcfg = cfg.seq2gene
+    params = init_seq2gene(jax.random.key(0), cfg)
+    params["gene_layers_packed"] = pack_gene_layers(
+        params["gene_layers"], mcfg.num_heads, mcfg.emb_dim // mcfg.num_heads
+    )
+    batch = _example_batch(d=8, c=12, g=6, length=12, t=6, vocab=64)
+
+    single = seq2gene_forward(params, batch, cfg, impl="fused2")
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    repl = pmesh.replicate_params(params, m)
+    b = pmesh.shard_batch_donor_all(batch, m)
+    out = pmesh.donor_dp_forward(cfg, m, b, impl="fused2")(repl, b)
+
+    for name in single._fields:
+        # embeddings leave the kernel in bf16 — the shard split moves window
+        # blocks, so they can differ by a couple of bf16 ulps (~2^-6 around
+        # |x|~2); the f32 prediction head is the tight contract.
+        tol = dict(rtol=5e-4, atol=5e-4) if name == "pred_expression" else dict(
+            rtol=1e-2, atol=5e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(single, name)),
+            err_msg=name, **tol,
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_use_mesh_keeps_fused_kernels_donor_partition(tmp_path):
+    """use_mesh(partition="donor") on a fused2 processor must KEEP the fused
+    kernels (round-2 downgraded every meshed forward to XLA): impl stays
+    fused2, an odd donor count pads to the full device count, and predictions
+    match the unmeshed fused2 processor. Also exercises the re-mesh
+    transitions: donor(fused) -> tissue(xla) -> donor(fused restored)."""
+    sys.path.insert(0, str(REPO / "examples"))
+    import dataclasses
+
+    from _common import synthetic_env
+
+    from variantformer_tpu.api.sweeps import genome_wide_expression
+    from variantformer_tpu.api.vcfprocessor import VCFProcessor
+
+    sources, cfg, extras = synthetic_env(str(tmp_path / "env"))
+    cfg = dataclasses.replace(
+        cfg, precision=PrecisionPolicy(compute_dtype="float32")
+    )
+
+    def run(meshed):
+        proc = VCFProcessor(sources=sources, config=cfg, impl="fused2")
+        proc.set_params(init_seq2gene(jax.random.key(0), cfg))
+        if meshed:
+            proc.use_mesh(pmesh.make_mesh(devices=jax.devices()[:8]))
+            assert proc.impl == "fused2", "donor mesh must keep fused kernels"
+            assert "gene_layers_packed" in proc._params
+        names = list(proc.tissue_vocab)[:3]
+        # 3 donors on 8 devices forces the pad-to-device-count + slice path.
+        genes = ["GENE1.1", "GENE2.1", "GENE1.1"]
+        df = genome_wide_expression(
+            proc, extras["vcf"], names, genes=genes, batch_size=3
+        )
+        df = df.drop_duplicates(["gene_id", "tissue"])
+        out = df.sort_values(["gene_id", "tissue"]).reset_index(drop=True)
+        return proc, out
+
+    _, base = run(meshed=False)
+    proc, meshed = run(meshed=True)
+    assert list(base["gene_id"]) == list(meshed["gene_id"])
+    np.testing.assert_allclose(
+        meshed["predicted_expression"].to_numpy(),
+        base["predicted_expression"].to_numpy(),
+        rtol=5e-4, atol=5e-4,
+    )
+
+    # tissue re-mesh downgrades to XLA; donor re-mesh restores fused2
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    proc.use_mesh(m, partition="tissue")
+    assert proc.impl == "xla"
+    assert "gene_layers_packed" not in proc._params
+    proc.use_mesh(m, partition="donor")
+    assert proc.impl == "fused2"
+    assert "gene_layers_packed" in proc._params
+    proc._reset_mesh()
+    assert proc.impl == "fused2"
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")

@@ -60,6 +60,7 @@ def _pad_group(samples: list, target: int) -> list:
     shape — and every fresh shape is a fresh (multi-minute, on remote-compile
     rigs) XLA/Mosaic compile plus a cache entry. Callers slice the pad rows
     off the outputs; the wasted compute is bounded by one group per sweep."""
+    assert samples, "_pad_group requires a non-empty group"
     return samples + [samples[-1]] * (target - len(samples))
 
 

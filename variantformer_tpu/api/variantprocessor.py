@@ -247,14 +247,25 @@ class VariantProcessor:
         # and flush every k — peak memory is O(k x live groups), not
         # O(all variants).
         buffers: dict[tuple, list[tuple[int, object]]] = {}
+        filled: set[tuple] = set()  # keys that reached k at least once
+        pad_stats = {"real": 0, "padded": 0}
 
-        def flush(key: tuple) -> None:
+        def flush(key: tuple, pad: bool = True) -> None:
             idxs_samples = buffers.pop(key, [])
             if not idxs_samples:
                 return
+            # Padding trades wasted FLOPs for shape reuse. For a key that
+            # never filled a group, the canonical-k executable was never
+            # compiled — dispatch at natural size instead of paying up to
+            # k x the compute to warm a shape nothing else will use
+            # (fragmented group keys, see docstring).
+            pad_to = k if pad else None
             outs = self._forward_triples(
-                [s for _, s in idxs_samples], list(key[0]), pad_to=k
+                [s for _, s in idxs_samples], list(key[0]), pad_to=pad_to
             )
+            pad_stats["real"] += len(idxs_samples)
+            if pad_to is not None:
+                pad_stats["padded"] += pad_to - len(idxs_samples)
             for (i, sample), out in zip(idxs_samples, outs):
                 predictions[i] = dict(
                     variant_type=sample.variant_type, out=out
@@ -309,9 +320,18 @@ class VariantProcessor:
             )
             buffers.setdefault(key, []).append((pair_index, sample))
             if len(buffers[key]) >= k:
+                filled.add(key)
                 flush(key)
         for key in list(buffers):
-            flush(key)
+            flush(key, pad=key in filled)
+        total = pad_stats["real"] + pad_stats["padded"]
+        if pad_stats["padded"]:
+            log.info(
+                "VEP dispatch padding: %d/%d padded triples (%.1f%% of "
+                "device compute) across %d group keys",
+                pad_stats["padded"], total,
+                100.0 * pad_stats["padded"] / total, len(filled) or 1,
+            )
 
         df = self.compile_predictions(
             predictions, output_dir, vcf_path=vcf_path, out_file=out_file

@@ -244,17 +244,9 @@ class VCFProcessor:
         self._params = params
         if config is not None:
             self.config = config
-        if self.impl == "fused2" and "gene_layers_packed" not in params:
-            # Pack the gene stack for the fused modulator ONCE at load time —
-            # padding/transposing ~1.2 GB of weights must not run per forward.
-            from variantformer_tpu.ops.fused_modulator import pack_gene_layers
-
-            mcfg = self.config.seq2gene
-            self._params = dict(params)
-            self._params["gene_layers_packed"] = pack_gene_layers(
-                params["gene_layers"], mcfg.num_heads,
-                mcfg.emb_dim // mcfg.num_heads,
-            )
+        # Pack the gene stack for the fused modulator ONCE at load time —
+        # padding/transposing ~1.2 GB of weights must not run per forward.
+        self._ensure_packed()
 
     def cleanup(self):
         """Release model memory: drop the device param arrays and the cached
@@ -269,27 +261,46 @@ class VCFProcessor:
         if getattr(self, "_mesh", None) is not None:
             self._mesh = None
             self._mesh_partition = "donor"
+            self._mesh_fused = False
             self.impl = self._impl_before_mesh
             self._fwd_cache.clear()
 
-    def use_mesh(self, mesh=None, partition: str = "donor"):
-        """Scale every flow (vcf2exp, VEP, sweeps) across a device mesh:
-        params shard head/FFN tensor-parallel over the "model" axis and
-        batches data-parallel over "data" (parallel/mesh.py). Call after
-        load_model()/set_params().
+    def _ensure_packed(self):
+        """Pack the gene stack for the fused modulator if absent (idempotent)."""
+        if self.impl == "fused2" and "gene_layers_packed" not in self._params:
+            from variantformer_tpu.ops.fused_modulator import pack_gene_layers
 
-        partition="donor" (default): donor batches shard over "data";
-        batches whose donor count does not divide the data axis are
-        suffix-padded in _forward and the pad rows sliced off.
+            mcfg = self.config.seq2gene
+            self._params = dict(self._params)
+            self._params["gene_layers_packed"] = pack_gene_layers(
+                self._params["gene_layers"], mcfg.num_heads,
+                mcfg.emb_dim // mcfg.num_heads,
+            )
+
+    def use_mesh(self, mesh=None, partition: str = "donor"):
+        """Scale every flow (vcf2exp, VEP, sweeps) across a device mesh.
+        Call after load_model()/set_params().
+
+        partition="donor" (default): pure donor data parallelism. The fused
+        Pallas kernels SURVIVE this mesh: weights replicate, donor batches
+        split over all devices jointly via shard_map, and each chip runs the
+        intact fused forward on its shard with zero collectives — the meshed
+        per-chip rate is the single-chip fused rate. Batches whose donor
+        count does not divide the device count are suffix-padded in _forward
+        and the pad rows sliced off.
 
         partition="tissue": single-donor scale-out — the per-tissue gene
-        fan-out and the window axes shard over "data" instead (tissue list
-        padded/sliced in _forward); use when batches are donor-thin (one
-        donor, genome-wide sweep) but the tissue list is wide.
-
-        The fused single-chip Pallas kernels do not partition under GSPMD,
-        so meshed forwards run the XLA path."""
-        from variantformer_tpu.parallel.mesh import make_mesh, shard_params
+        fan-out and the window axes shard over "data" under GSPMD (tissue
+        list padded/sliced in _forward); use when batches are donor-thin
+        (one donor, genome-wide sweep) but the tissue list is wide. GSPMD
+        cannot partition a pallas_call, so this path (and any explicitly
+        impl="xla" processor) runs layered XLA with head/FFN tensor
+        parallelism over the "model" axis (parallel/mesh.py)."""
+        from variantformer_tpu.parallel.mesh import (
+            make_mesh,
+            replicate_params,
+            shard_params,
+        )
 
         assert self._params is not None, "call load_model()/set_params() first"
         assert partition in ("donor", "tissue")
@@ -300,27 +311,45 @@ class VCFProcessor:
             # already-meshed processor must not overwrite it with "xla", or
             # _reset_mesh could never restore the fused kernels.
             self._impl_before_mesh = self.impl
-        if self.impl != "xla":
-            log.info("use_mesh: impl %r -> 'xla' (kernels are single-chip)",
-                     self.impl)
-            self.impl = "xla"
-            self._params.pop("gene_layers_packed", None)
-        self._params = shard_params(self._params, mesh)
+        else:
+            # Re-meshing (e.g. tissue -> donor): decide from the ORIGINAL
+            # impl, not whatever the previous partition downgraded it to.
+            self.impl = self._impl_before_mesh
+        self._mesh_fused = (
+            partition == "donor" and self.impl in ("fused", "fused2")
+        )
+        if self._mesh_fused:
+            self._ensure_packed()  # repack if a prior tissue-mesh popped it
+            self._params = replicate_params(self._params, mesh)
+        else:
+            if self.impl != "xla":
+                log.info(
+                    "use_mesh: impl %r -> 'xla' (GSPMD cannot partition the "
+                    "fused kernels under partition=%r)", self.impl, partition,
+                )
+                self.impl = "xla"
+                self._params = dict(self._params)
+                self._params.pop("gene_layers_packed", None)
+            self._params = shard_params(self._params, mesh)
         self._mesh = mesh
         self._fwd_cache.clear()
 
     def _forward(self, batch):
         mesh = getattr(self, "_mesh", None)
+        mesh_fused = getattr(self, "_mesh_fused", False)
         d = batch.cre_tokens.shape[0]
         t = batch.tissue_ids.shape[0]
         if mesh is not None:
             from variantformer_tpu.parallel.mesh import (
                 pad_tissue_axis,
                 shard_batch,
+                shard_batch_donor_all,
             )
 
             partition = getattr(self, "_mesh_partition", "donor")
-            data = mesh.shape["data"]
+            # Fused donor-DP splits donors over ALL devices jointly
+            # (shard_map); the GSPMD path splits over the "data" axis only.
+            data = mesh.devices.size if mesh_fused else mesh.shape["data"]
             if partition == "donor" and d % data:
                 pad = data - d % data
                 batch = Seq2GeneBatch(
@@ -338,7 +367,11 @@ class VCFProcessor:
                 )
             elif partition == "tissue":
                 batch, _ = pad_tissue_axis(batch, mesh)
-            batch = shard_batch(batch, mesh, partition)
+            batch = (
+                shard_batch_donor_all(batch, mesh)
+                if mesh_fused
+                else shard_batch(batch, mesh, partition)
+            )
         key = (
             batch.cre_tokens.shape,
             batch.gene_tokens.shape,
@@ -347,9 +380,16 @@ class VCFProcessor:
         if key not in self._fwd_cache:
             cfg = self.config
             impl = self.impl
-            self._fwd_cache[key] = jax.jit(
-                lambda p, b: seq2gene_forward(p, b, cfg, impl=impl)
-            )
+            if mesh is not None and mesh_fused:
+                from variantformer_tpu.parallel.mesh import donor_dp_forward
+
+                self._fwd_cache[key] = donor_dp_forward(
+                    cfg, mesh, batch, impl=impl
+                )
+            else:
+                self._fwd_cache[key] = jax.jit(
+                    lambda p, b: seq2gene_forward(p, b, cfg, impl=impl)
+                )
         out = self._fwd_cache[key](self._params, batch)
         if batch.cre_tokens.shape[0] != d:  # slice off donor padding
             out = type(out)(*(leaf[:d] for leaf in out))

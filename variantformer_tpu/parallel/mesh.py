@@ -242,3 +242,84 @@ def sharded_forward(cfg, mesh: Mesh, impl: str = "xla"):
         return seq2gene_forward(params, batch, cfg, impl=impl)
 
     return jax.jit(fn)
+
+
+# -- donor-DP with the fused Pallas kernels ---------------------------------
+#
+# The fused whole-stack kernels (ops/fused_encoder, ops/fused_modulator) are
+# single-chip programs: GSPMD cannot partition a pallas_call, so the plain
+# sharded path downgrades them to layered XLA. But under pure donor data
+# parallelism no partitioning is NEEDED — each chip runs the intact kernels
+# on its own donor shard with replicated weights and zero collectives. We
+# express exactly that with shard_map over ALL mesh axes jointly (a pure-DP
+# program has no use for a separate "model" axis, so donors split across the
+# full device set) and the fused forward as the per-device body.
+
+
+def replicate_params(params, mesh: Mesh):
+    """Place every param leaf fully replicated on the mesh (donor-DP needs
+    whole weights on every chip — including ``gene_layers_packed``)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl), params)
+
+
+def donor_dp_batch_specs(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
+    """Donor-leading arrays split over ALL mesh axes jointly; tissues
+    replicate. The donor dim must divide the total device count — pad first
+    (VCFProcessor._forward does)."""
+    axes = tuple(mesh.axis_names)
+
+    def spec(name, leaf):
+        if leaf is None:
+            return None
+        if name == "tissue_ids":
+            return P()
+        return P(axes, *([None] * (leaf.ndim - 1)))
+
+    return Seq2GeneBatch(
+        **{name: spec(name, getattr(batch, name)) for name in batch._fields}
+    )
+
+
+def shard_batch_donor_all(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
+    specs = donor_dp_batch_specs(batch, mesh)
+    return Seq2GeneBatch(
+        **{
+            name: (
+                None
+                if getattr(batch, name) is None
+                else jax.device_put(
+                    getattr(batch, name), NamedSharding(mesh, getattr(specs, name))
+                )
+            )
+            for name in batch._fields
+        }
+    )
+
+
+def donor_dp_forward(cfg, mesh: Mesh, batch: Seq2GeneBatch, impl: str = "fused2"):
+    """jitted shard_map forward keeping the fused kernels under the mesh.
+
+    ``batch`` supplies the STRUCTURE (which optional fields are present);
+    shapes are free — reuse the returned callable for any batch with the
+    same field structure whose donor dim divides the device count.
+    """
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+
+    axes = tuple(mesh.axis_names)
+    specs = donor_dp_batch_specs(batch, mesh)
+
+    def fwd(params, b):
+        return seq2gene_forward(params, b, cfg, impl=impl)
+
+    sm = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), specs),
+        out_specs=P(axes),
+        # the body holds pallas_calls whose varying-manual-axes inference
+        # is unsupported; replication is structurally guaranteed here
+        # (params replicated, outputs all donor-leading)
+        check_vma=False,
+    )
+    return jax.jit(sm)
