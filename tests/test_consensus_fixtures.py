@@ -24,11 +24,14 @@ ASSUMED (documented here, not verifiable without bcftools):
     scripts/bcftools_differential.py on a bcftools-equipped machine to
     confirm; if bcftools instead keeps REF, only VEP het-indel cases differ.
 
-DELIBERATE DEVIATION:
+DELIBERATE DEVIATION (default) + COMPAT SWITCH:
   * REF-mismatch records: bcftools aborts the whole region (the reference
     then falls back to the raw reference slice, data_process.py:74-84); we
     skip just the bad record and still apply the rest — strictly more
-    information, never less.
+    information, never less. ConsensusEngine(ref_mismatch="region_fallback")
+    (or VFX_CONSENSUS_REF_MISMATCH=region_fallback) reproduces the
+    reference's whole-region fallback exactly — gold-parity runs force it
+    (tests/test_gold_parity.py, scripts/run_gold_parity.py).
 
 Each case runs against BOTH the Python engine and the C++ one
 (native/consensus.cpp) when built.
@@ -167,6 +170,48 @@ def test_ref_mismatch_record_skipped_deviation():
          V(pos=5, ref="A", alleles=("G", "G"))],
         "ACGTGC", 1,
     )
+
+
+def test_ref_mismatch_region_fallback_compat_mode(monkeypatch):
+    """ref_mismatch="region_fallback" reproduces the reference pipeline: any
+    REF-mismatch record voids the ENTIRE region (raw reference slice, 0
+    applied) — even variants before/after the bad record."""
+    seq = "ACGTAC"
+    variants = [
+        V(pos=2, ref="C", alleles=("G", "G")),  # good (would apply)
+        V(pos=4, ref="G", alleles=("A", "A")),  # REF disagrees with FASTA (T)
+        V(pos=5, ref="A", alleles=("G", "G")),  # good (would apply)
+    ]
+    for use_native in (False, True):
+        if use_native:
+            try:
+                from variantformer_tpu.utils.native import native_consensus  # noqa: F401
+            except Exception:
+                break
+        eng = ConsensusEngine(
+            _FakeFasta(seq), _FakeVcf(variants), use_native=use_native,
+            ref_mismatch="region_fallback",
+        )
+        out, n = eng.consensus("chr1", 0, len(seq))
+        assert (out, n) == (seq, 0), f"native={use_native}: {out!r}, {n}"
+
+    # a record skipped for OVERLAP never reaches bcftools' REF check: the
+    # region still applies (mirrors the apply loop's cursor semantics)
+    overlap = [
+        V(pos=2, ref="CGT", alleles=("C", "C")),   # deletion spans 2-4
+        V(pos=3, ref="X", alleles=("T", "T")),     # bogus REF, but overlapped
+    ]
+    eng = ConsensusEngine(
+        _FakeFasta(seq), _FakeVcf(overlap), use_native=False,
+        ref_mismatch="region_fallback",
+    )
+    assert eng.consensus("chr1", 0, len(seq)) == ("ACAC", 1)
+
+    # env-var default resolution
+    monkeypatch.setenv("VFX_CONSENSUS_REF_MISMATCH", "region_fallback")
+    eng = ConsensusEngine(_FakeFasta(seq), _FakeVcf(variants), use_native=False)
+    assert eng.ref_mismatch == "region_fallback"
+    assert eng.consensus("chr1", 0, len(seq)) == (seq, 0)
 
 
 def test_region_offset_coordinates():

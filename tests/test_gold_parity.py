@@ -10,11 +10,19 @@ Reference tolerances (tests/test_vep.py, BASELINE.md):
   * cross-processor zygosity-0 expression: atol=0.1
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
 
 from variantformer_tpu.utils.assets import artifacts_dir
+
+# Real VCFs (HG00096) can contain REF-mismatch records; the reference's
+# pipeline voids the WHOLE region on one (bcftools non-zero exit -> raw
+# reference slice). Force the compat mode so gold comparisons are
+# semantics-equal — the repo's default ("skip") keeps strictly more variants.
+os.environ["VFX_CONSENSUS_REF_MISMATCH"] = "region_fallback"
 
 BASE = artifacts_dir()
 REQUIRED = [

@@ -23,6 +23,7 @@ import bisect
 import dataclasses
 import gzip
 import logging
+import os
 
 from variantformer_tpu.utils.bgzf import BGZFReader, is_bgzf
 from variantformer_tpu.utils.fasta import FastaReader
@@ -218,10 +219,52 @@ class ConsensusEngine:
     differential-test oracle."""
 
     def __init__(self, fasta: FastaReader, vcf: VCFReader | None = None,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None,
+                 ref_mismatch: str | None = None):
+        """ref_mismatch: what to do when a record's REF column disagrees with
+        the fetched reference sequence.
+
+          * "skip" (default): drop only the bad record and apply the rest —
+            the standalone-sensible behavior (documented DELIBERATE DEVIATION,
+            tests/test_consensus_fixtures.py).
+          * "region_fallback": reproduce the reference pipeline exactly —
+            bcftools consensus exits non-zero on the first REF mismatch and
+            the reference then uses the RAW reference slice for the whole
+            region with 0 applied (/root/reference/utils/data_process.py:74-84).
+            Required for gold-parity runs on regions containing such records
+            (tests/test_gold_parity.py forces it).
+
+        Default resolves from VFX_CONSENSUS_REF_MISMATCH, else "skip"."""
         self.fasta = fasta
         self.vcf = vcf
         self.use_native = use_native is not False
+        if ref_mismatch is None:
+            ref_mismatch = os.environ.get("VFX_CONSENSUS_REF_MISMATCH", "skip")
+        assert ref_mismatch in ("skip", "region_fallback"), ref_mismatch
+        self.ref_mismatch = ref_mismatch
+
+    def _region_has_mismatch(
+        self, seq: str, start: int, variants, snps_only: bool
+    ) -> bool:
+        """Mirror the apply loop's cursor semantics: a record that would be
+        skipped for overlap/out-of-range never reaches bcftools' REF check."""
+        cursor = 0
+        for var in variants:
+            if var.is_ref_call or (snps_only and not var.is_snp):
+                continue
+            vstart = var.pos - 1 - start
+            vend = vstart + len(var.ref)
+            if vstart < cursor or vend > len(seq):
+                continue
+            if seq[vstart:vend].upper() != var.ref.upper():
+                log.warning(
+                    "REF mismatch at %d (%s != %s); region falls back to the "
+                    "raw reference (ref_mismatch='region_fallback')",
+                    var.pos, seq[vstart:vend], var.ref,
+                )
+                return True
+            cursor = vend
+        return False
 
     def consensus(
         self, chrom: str, start: int, end: int, snps_only: bool = False
@@ -232,6 +275,10 @@ class ConsensusEngine:
             return seq, 0
         variants = self.vcf.query(chrom, start, end)
         if not variants:
+            return seq, 0
+        if self.ref_mismatch == "region_fallback" and self._region_has_mismatch(
+            seq, start, variants, snps_only
+        ):
             return seq, 0
         if self.use_native:
             from variantformer_tpu.utils.native import native_consensus
