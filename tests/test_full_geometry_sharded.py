@@ -1,0 +1,105 @@
+"""Full-geometry (1536-d / 32-head / 25-layer) SHARDED parity on the CPU mesh.
+
+Round 2's sharded parity ran at reduced widths (emb 512); the TP packing
+edge cases at the REAL head_dim of 48 (1536/32) under a 4-way "model" shard
+were untested (round-2 VERDICT, Weak #6). This slow-marked gate runs the
+production geometry through the 2x4 GSPMD DP+TP partitioning and the fused
+donor-DP shard_map path, asserting both against the unsharded single-device
+forward. Initialized (not converted) weights: the converter itself is
+covered by tests/test_full_geometry_parity.py — here the contract is
+sharding-invariance of the forward at full width.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from variantformer_tpu.config import (
+    ModelConfig,
+    PrecisionPolicy,
+    Seq2GeneConfig,
+    WindowEncoderConfig,
+)
+from variantformer_tpu.models.init import init_seq2gene
+from variantformer_tpu.models.seq2gene import seq2gene_forward
+from variantformer_tpu.parallel import mesh as pmesh
+
+from __graft_entry__ import _example_batch
+
+VOCAB, TOKEN_E, EMB, HEADS, LAYERS = 500, 512, 1536, 32, 25
+ENC_HEADS, ENC_LAYERS = 8, 8
+TISSUES = 63
+
+
+def _full_cfg():
+    return ModelConfig(
+        window_encoder=WindowEncoderConfig(
+            vocab_size=VOCAB, embedding_dim=TOKEN_E, num_heads=ENC_HEADS,
+            num_layers=ENC_LAYERS, ffn_hidden_dim=2048, token_length=16,
+            use_context=False,
+        ),
+        seq2gene=Seq2GeneConfig(
+            emb_dim=EMB, gene_emb_dim=TOKEN_E, token_dim=TOKEN_E,
+            num_heads=HEADS, num_layers=LAYERS, num_tissues=TISSUES,
+            only_cross_attention=False, multi_head=False,
+        ),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_full_geometry_sharded_forward_matches_single_device():
+    cfg = _full_cfg()
+    params = init_seq2gene(jax.random.key(1), cfg)
+    batch = _example_batch(d=2, c=6, g=4, length=16, t=3, vocab=VOCAB)
+
+    single = seq2gene_forward(params, batch, cfg)
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    assert dict(m.shape) == {"data": 2, "model": 4}  # head_dim 48, 8 heads/shard
+    out = pmesh.sharded_forward(cfg, m)(
+        pmesh.shard_params(params, m), pmesh.shard_batch(batch, m)
+    )
+    for name in single._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(single, name)),
+            rtol=2e-4, atol=2e-4, err_msg=name,
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_full_geometry_fused_donor_dp_matches_single_device():
+    """Fused shard_map donor-DP at full width: the packed-slab layout
+    (head_dim 48 padded to 64 lanes, 2-phase weight slabs) must be
+    sharding-invariant. Interpreter-mode Pallas; pred_expression contract
+    (the embeddings are bf16 kernel outputs, ulp-level reassociation)."""
+    from variantformer_tpu.ops.fused_modulator import pack_gene_layers
+
+    cfg = _full_cfg()
+    params = init_seq2gene(jax.random.key(1), cfg)
+    params["gene_layers_packed"] = pack_gene_layers(
+        params["gene_layers"], HEADS, EMB // HEADS
+    )
+    batch = _example_batch(d=8, c=6, g=4, length=16, t=3, vocab=VOCAB)
+
+    single = seq2gene_forward(params, batch, cfg, impl="fused2")
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    repl = pmesh.replicate_params(params, m)
+    b = pmesh.shard_batch_donor_all(batch, m)
+    out = pmesh.donor_dp_forward(cfg, m, b, impl="fused2")(repl, b)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_expression),
+        np.asarray(single.pred_expression),
+        rtol=1e-3, atol=1e-3,
+    )
+    emb_s = np.asarray(single.pooled_embedding)
+    emb_m = np.asarray(out.pooled_embedding)
+    # bf16 ulp-scale agreement on the embeddings
+    assert float(np.max(np.abs(emb_m - emb_s))) < 0.05 * max(
+        1.0, float(np.max(np.abs(emb_s)))
+    )

@@ -10,8 +10,6 @@ Reference tolerances (tests/test_vep.py, BASELINE.md):
   * cross-processor zygosity-0 expression: atol=0.1
 """
 
-import os
-
 import numpy as np
 import pandas as pd
 import pytest
@@ -22,7 +20,13 @@ from variantformer_tpu.utils.assets import artifacts_dir
 # pipeline voids the WHOLE region on one (bcftools non-zero exit -> raw
 # reference slice). Force the compat mode so gold comparisons are
 # semantics-equal — the repo's default ("skip") keeps strictly more variants.
-os.environ["VFX_CONSENSUS_REF_MISMATCH"] = "region_fallback"
+# Fixture-scoped (NOT module-level os.environ): pytest imports every module
+# at collection time, so an import-time set would leak into the whole suite
+# (observed: test_consensus_fixtures' deviation test failing in-suite only).
+@pytest.fixture(autouse=True)
+def _compat_consensus(monkeypatch):
+    monkeypatch.setenv("VFX_CONSENSUS_REF_MISMATCH", "region_fallback")
+
 
 BASE = artifacts_dir()
 REQUIRED = [
