@@ -86,32 +86,45 @@ def test_finetune_example(tmp_path):
     assert len(out) == 2
 
 
-def test_vcf2exp_notebook_executes(tmp_path):
-    """The notebook layer is real: notebooks/vcf2exp.ipynb runs end to end
-    under nbclient (synthetic mode) including the inline anatomagram."""
+@pytest.mark.parametrize("name", ["vcf2exp", "variant2exp", "vcf2risk"])
+def test_flagship_notebook_executes(name):
+    """The notebook layer is real: each flagship narrative notebook runs end
+    to end under nbclient (synthetic mode), renders dataframes/charts inline,
+    and — for the anatomagram flows — embeds the interactive HTML."""
     import nbformat
     from nbclient import NotebookClient
 
-    nb_path = REPO / "notebooks" / "vcf2exp.ipynb"
+    nb_path = REPO / "notebooks" / f"{name}.ipynb"
     nb = nbformat.read(nb_path, as_version=4)
+    code_cells = [c for c in nb.cells if c.cell_type == "code"]
+    md_cells = [c for c in nb.cells if c.cell_type == "markdown"]
+    assert len(code_cells) >= 6 and len(md_cells) >= 5, (
+        f"{name}: flagship notebooks are narrative documents, "
+        f"got {len(code_cells)} code / {len(md_cells)} md cells"
+    )
     client = NotebookClient(
         nb, timeout=600, kernel_name="python3",
         resources={"metadata": {"path": str(REPO / "notebooks")}},
     )
     client.execute()
-    outputs = [
-        o for cell in nb.cells if cell.cell_type == "code"
-        for o in cell.get("outputs", [])
-    ]
+    outputs = [o for cell in code_cells for o in cell.get("outputs", [])]
     assert outputs, "no cell outputs produced"
     assert not any(o.get("output_type") == "error" for o in outputs)
-    html_blobs = [
+    rich = [
         o for o in outputs
         if o.get("output_type") in ("display_data", "execute_result")
-        and "text/html" in o.get("data", {})
     ]
-    assert any("anatomagram" in "".join(o["data"]["text/html"]) or "svg" in
-               "".join(o["data"]["text/html"]) for o in html_blobs)
+    # dataframe/plot/HTML renderings, not just prints
+    assert any("text/html" in o.get("data", {}) for o in rich), name
+    if name in ("vcf2exp", "vcf2risk"):
+        html_blobs = [
+            "".join(o["data"]["text/html"]) for o in rich
+            if "text/html" in o.get("data", {})
+        ]
+        assert any("anatomagram" in h or "svg" in h for h in html_blobs)
+    assert any(
+        "image/png" in o.get("data", {}) for o in rich
+    ), f"{name}: expected an inline chart"
 
 
 def test_all_notebooks_valid():
