@@ -11,6 +11,8 @@ measures all three step variants at a mid-size geometry on the real chip:
   * xla / trainable tokenizers (the naive step)
   * xla / frozen tokenizers (encoder backward DCE'd)
   * fused / frozen tokenizers (fused-encoder forward + DCE'd backward)
+  * fused / trainable gene tokenizer (fused-encoder forward + the recompute
+    Pallas backward via its custom VJP — the non-frozen training path)
 
 Timing is via host transfer of the loss (block_until_ready is unreliable
 under the axon relay). Each variant is a distinct HLO -> one-time compile
@@ -90,6 +92,7 @@ def main():
         ("xla_trainable", "xla", False),
         ("xla_frozen", "xla", True),
         ("fused_frozen", "fused", True),
+        ("fused_trainable", "fused", False),
     ):
         tx = make_optimizer(params, train_gene_tokenizer=not freeze)
         step = make_seq2gene_train_step(
@@ -122,6 +125,9 @@ def main():
         "step_ms": results,
         "frozen_speedup": round(base / results["xla_frozen"], 3),
         "fused_frozen_speedup": round(base / results["fused_frozen"], 3),
+        "fused_trainable_speedup": round(
+            base / results["fused_trainable"], 3
+        ),
     }))
 
 

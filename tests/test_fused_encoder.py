@@ -100,3 +100,161 @@ def test_dual_stack_matches_separate():
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(ref_a))
     np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref_b))
     assert out_a.shape == (10, 64) and out_b.shape == (7, 64)
+
+
+# ---------------------------------------------------------------------------
+# Backward (custom VJP) — recompute Pallas backward vs the XLA path's grads
+# ---------------------------------------------------------------------------
+
+
+def _grad_setup(seed=0, n=10, l=24):
+    from variantformer_tpu.ops.alibi import alibi_slopes
+
+    cfg, params, tokens, tok_len = _setup(seed=seed, n=n, l=l)
+    rng = np.random.default_rng(seed + 100)
+    cot = jnp.asarray(rng.standard_normal((n, 64)), jnp.float32)
+    slopes = jnp.asarray(alibi_slopes(4))
+    return cfg, params, tokens, tok_len, cot, slopes
+
+
+def test_vjp_grads_match_xla_path():
+    """d(layers) and d(x_emb) from the fused VJP must match the layered XLA
+    path's gradients to bf16 tolerance (the kernels are bf16-internal)."""
+    from variantformer_tpu.ops.fused_encoder import fused_window_encoder_diff
+
+    cfg, params, tokens, tok_len, cot, slopes = _grad_setup()
+    ctx = jnp.zeros((tokens.shape[0],), jnp.int32)
+    scale = 16 ** -0.5
+
+    def loss_fused(layers, x_emb):
+        out = fused_window_encoder_diff(x_emb, tok_len, layers, slopes, scale, 4)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    def loss_xla(layers, emb_table):
+        p = {**params, "layers": layers, "token_embedding": emb_table}
+        out = encode_windows(
+            p, tokens, tok_len, ctx, cfg, AttnSpec(4, 16), jnp.bfloat16
+        )
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    x_emb = params["token_embedding"][tokens].astype(jnp.bfloat16)
+    v1, (gl_f, gx_f) = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+        params["layers"], x_emb
+    )
+    v2, (gl_x, gemb_x) = jax.value_and_grad(loss_xla, argnums=(0, 1))(
+        params["layers"], params["token_embedding"]
+    )
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-2)
+
+    # per-leaf relative error on the layer grads
+    flat_f = jax.tree.leaves(gl_f)
+    flat_x = jax.tree.leaves(gl_x)
+    assert len(flat_f) == len(flat_x)
+    for gf, gx in zip(flat_f, flat_x):
+        gf = np.asarray(gf, np.float32)
+        gx = np.asarray(gx, np.float32)
+        # both sides are bf16-internal, so elementwise comparison is noisy;
+        # relative L2 error is the robust agreement metric
+        rel = np.linalg.norm(gf - gx) / max(1e-6, np.linalg.norm(gx))
+        assert rel < 5e-2, rel
+
+    # d(x_emb): scatter the XLA embedding-table grad back to token positions
+    # is lossy (duplicate tokens accumulate), so compare through a direct
+    # x_emb grad of the XLA path instead.
+    def loss_xla_emb(x_emb_in):
+        # re-run the layered path on explicit embeddings via a one-hot-free
+        # trick: temporarily swap encode_windows' gather for the given array.
+        from variantformer_tpu.models import core
+
+        spec = AttnSpec(4, 16)
+        x = x_emb_in
+        sl = slopes
+
+        def layer_body(x, layer_p):
+            h = core.self_attention_block(
+                layer_p["mixer"], core.layer_norm(layer_p["norm1"], x),
+                tok_len, sl, spec, jnp.bfloat16,
+            )
+            h = h + x
+            out = core.geglu_ffn(
+                layer_p, core.layer_norm(layer_p["norm2"], h), jnp.bfloat16
+            )
+            return out + x, None
+
+        x, _ = jax.lax.scan(layer_body, x, params["layers"])
+        pos = jnp.arange(x.shape[1])[None, :]
+        valid = (pos < tok_len[:, None]).astype(jnp.float32)[..., None]
+        pooled = (x.astype(jnp.float32) * valid).sum(1) / jnp.maximum(
+            tok_len.astype(jnp.float32), 1.0
+        )[:, None]
+        return jnp.sum(pooled * cot)
+
+    gx_ref = jax.grad(loss_xla_emb)(x_emb)
+    gf = np.asarray(gx_f, np.float32)
+    gr = np.asarray(gx_ref, np.float32)
+    rel = np.linalg.norm(gf - gr) / max(1e-6, np.linalg.norm(gr))
+    assert rel < 5e-2, rel
+
+
+def test_vjp_pad_rows_zero_grad():
+    """Token rows beyond tok_len must receive exactly zero d(x_emb): masked
+    keys give p=0 and pooling ignores them; everything else is row-local."""
+    from variantformer_tpu.ops.fused_encoder import fused_window_encoder_diff
+
+    cfg, params, tokens, tok_len, cot, slopes = _grad_setup(n=6)
+    x_emb = params["token_embedding"][tokens].astype(jnp.bfloat16)
+    scale = 16 ** -0.5
+
+    def loss(x):
+        out = fused_window_encoder_diff(x, tok_len, params["layers"],
+                                        slopes, scale, 4)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    dx = np.asarray(jax.grad(loss)(x_emb), np.float32)
+    lens = np.asarray(tok_len)
+    for i in range(dx.shape[0]):
+        assert np.all(dx[i, lens[i]:] == 0.0), f"window {i} pad rows leak grad"
+        # valid rows must carry signal
+        assert np.abs(dx[i, : lens[i]]).max() > 0
+
+
+def test_dual_vjp_matches_two_single():
+    """The dual-stack VJP is the same kernel math with a two-slot weight
+    gradient — it must agree with two single-stack calls bit-for-bit."""
+    from variantformer_tpu.ops.fused_encoder import (
+        fused_window_encoder_diff,
+        fused_window_encoder_dual_diff,
+    )
+    from variantformer_tpu.ops.alibi import alibi_slopes
+
+    _, pa_full, _, _ = _setup(seed=0, n=9)
+    _, pb_full, _, _ = _setup(seed=1, n=6)
+    pa, pb = pa_full["layers"], pb_full["layers"]
+    rng = np.random.default_rng(0)
+    na, nb, l = 9, 6, 24
+    xa = jnp.asarray(rng.standard_normal((na, l, 64)), jnp.bfloat16)
+    xb = jnp.asarray(rng.standard_normal((nb, l, 64)), jnp.bfloat16)
+    la = jnp.asarray(rng.integers(1, l + 1, na), jnp.int32)
+    lb = jnp.asarray(rng.integers(1, l + 1, nb), jnp.int32)
+    cota = jnp.asarray(rng.standard_normal((na, 64)), jnp.float32)
+    cotb = jnp.asarray(rng.standard_normal((nb, 64)), jnp.float32)
+    slopes = jnp.asarray(alibi_slopes(4))
+    scale = 16 ** -0.5
+
+    def loss_dual(pa_, xa_, pb_, xb_):
+        oa, ob = fused_window_encoder_dual_diff(
+            xa_, la, pa_, xb_, lb, pb_, slopes, scale, 4
+        )
+        return (jnp.sum(oa.astype(jnp.float32) * cota)
+                + jnp.sum(ob.astype(jnp.float32) * cotb))
+
+    def loss_sep(pa_, xa_, pb_, xb_):
+        oa = fused_window_encoder_diff(xa_, la, pa_, slopes, scale, 4)
+        ob = fused_window_encoder_diff(xb_, lb, pb_, slopes, scale, 4)
+        return (jnp.sum(oa.astype(jnp.float32) * cota)
+                + jnp.sum(ob.astype(jnp.float32) * cotb))
+
+    g1 = jax.grad(loss_dual, argnums=(0, 1, 2, 3))(pa, xa, pb, xb)
+    g2 = jax.grad(loss_sep, argnums=(0, 1, 2, 3))(pa, xa, pb, xb)
+    for t1, t2 in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

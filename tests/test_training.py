@@ -713,16 +713,53 @@ def test_freeze_tokenizers_step_matches_and_runs_fused():
         np.asarray(params["cre_tokenizer"]["token_embedding"]),
     )
 
-    with pytest.raises(ValueError, match="freeze_tokenizers"):
-        make_seq2gene_train_step(cfg, None, impl="fused")
     with pytest.raises(ValueError, match="training impl"):
         make_seq2gene_train_step(cfg, None, impl="fused2")
-    # impl='fused' also incompatible with a TRAINABLE gene tokenizer
-    with pytest.raises(ValueError, match="train_gene_tokenizer"):
-        make_seq2gene_train_step(
-            cfg, None, impl="fused", freeze_tokenizers=True,
-            train_gene_tokenizer=True,
-        )
+
+
+def test_fused_encoder_backward_trains_tokenizers():
+    """impl='fused' with TRAINABLE tokenizers: the fused encoder's custom
+    VJP (recompute Pallas backward) must carry real gradients into both
+    tokenizer stacks and track the XLA step's loss trajectory."""
+    from tests.test_model_smoke import tiny_batch, tiny_config
+    from variantformer_tpu.models.init import init_seq2gene
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    cfg = tiny_config()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = tiny_batch(np.random.default_rng(0))
+    targets = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 3, (2, 3)), jnp.float32
+    )
+    mask = jnp.ones((2, 3), bool)
+
+    def run(impl):
+        tx = make_optimizer(params, learning_rate=3e-3, train_gene_tokenizer=True)
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        step = make_seq2gene_train_step(cfg, tx, impl=impl,
+                                        train_gene_tokenizer=True)
+        losses = []
+        for _ in range(3):
+            state, loss = step(state, batch, targets, mask)
+            losses.append(float(loss))
+        return state, losses
+
+    xla_state, xla_losses = run("xla")
+    fused_state, fused_losses = run("fused")
+    # the gene tokenizer actually moved under the fused step: real gradients
+    # crossed the fused encoder's VJP (the optimizer ALWAYS hard-freezes the
+    # CRE tokenizer — the reference's training contract, optimizer.py:48)
+    gene_before = np.asarray(params["gene_tokenizer"]["token_embedding"])
+    gene_after = np.asarray(
+        fused_state.params["gene_tokenizer"]["token_embedding"]
+    )
+    assert np.abs(gene_after - gene_before).max() > 0
+    np.testing.assert_array_equal(
+        np.asarray(fused_state.params["cre_tokenizer"]["token_embedding"]),
+        np.asarray(params["cre_tokenizer"]["token_embedding"]),
+    )
+    # trajectory tracks the XLA step within kernel (bf16) tolerance
+    np.testing.assert_allclose(fused_losses, xla_losses, rtol=5e-2)
 
 
 def test_freeze_tokenizers_respects_trainable_gene_tokenizer():

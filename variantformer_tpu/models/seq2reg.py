@@ -71,7 +71,9 @@ def encode_windows_dual(
     selects which stack's weights stream. Requires the fused path
     (spec.impl == "fused", plain layers, mean pooling); callers fall back to
     two encode_windows calls otherwise."""
-    from variantformer_tpu.ops.fused_encoder import fused_window_encoder_dual
+    from variantformer_tpu.ops.fused_encoder import (
+        fused_window_encoder_dual_diff,
+    )
 
     assert not cfg.use_context and cfg.seq_pool == "mean"
     slopes = (
@@ -87,7 +89,10 @@ def encode_windows_dual(
         ).astype(compute_dtype)
         x_a = x_a + pe
         x_b = x_b + pe
-    out_a, out_b = fused_window_encoder_dual(
+    # The *_diff wrapper's primal IS the inference-tuned kernel; under
+    # jax.grad it switches to the checkpointing forward + Pallas backward
+    # (ops/fused_encoder.py), so this one call serves inference and training.
+    out_a, out_b = fused_window_encoder_dual_diff(
         x_a, tok_len_a, params_a["layers"],
         x_b, tok_len_b, params_b["layers"],
         slopes, spec.scale, cfg.num_heads,
@@ -117,12 +122,16 @@ def encode_windows(
 
     if spec.impl == "fused" and not cfg.use_context:
         # Whole-encoder Pallas kernel: weights VMEM-resident, activations
-        # never round-trip HBM between layers (ops/fused_encoder.py).
-        from variantformer_tpu.ops.fused_encoder import fused_window_encoder
+        # never round-trip HBM between layers (ops/fused_encoder.py). The
+        # _diff wrapper's primal is the same kernel; under jax.grad it runs
+        # the checkpointing forward + recompute Pallas backward.
+        from variantformer_tpu.ops.fused_encoder import (
+            fused_window_encoder_diff,
+        )
 
         if cfg.seq_pool != "mean":
             raise NotImplementedError("fused encoder implements mean pooling")
-        return fused_window_encoder(
+        return fused_window_encoder_diff(
             x, tok_len, params["layers"], slopes, spec.scale, cfg.num_heads
         ).astype(compute_dtype)
 

@@ -8,8 +8,10 @@ steps reconstruct the training semantics as pure functions:
   * seq2reg: per-tissue CRE classification with focal/weighted CE, optional
     dual contrastive loss (reference seq2reg/model.py:304-353).
 
-Gradients flow through the XLA attention path (fully differentiable); the
-Pallas kernels are inference-path only until their custom VJPs land.
+Gradients flow through the XLA attention path by default; the fused window
+encoder additionally has a recompute Pallas backward (its custom VJP,
+ops/fused_encoder.py), so ``impl="fused"`` is legal with trainable
+tokenizers. The fused gene modulator remains inference-only (no VJP).
 """
 
 from __future__ import annotations
@@ -43,9 +45,9 @@ def seq2gene_loss_fn(
     tokenizer (model_combined_modulator.py:462-471); without this, the step
     still BUILDS the window-encoder backward (the encoding stage is ~1/3 of
     forward FLOPs) only for the optimizer to zero the result. Stopping the
-    gradient lets XLA dead-code-eliminate that backward — and with both
-    stopped, the non-differentiable fused encoder kernel becomes legal in
-    training (``impl="fused"``), since no tangents enter it."""
+    gradient lets XLA dead-code-eliminate that backward; with
+    ``impl="fused"`` the DCE also prunes the fused encoder's checkpointing
+    forward back down to the inference kernel."""
     if stop_cre_grads or stop_gene_grads:
         params = dict(params)
         if stop_cre_grads:
@@ -82,21 +84,16 @@ def make_seq2gene_train_step(
     backward entirely; ``train_gene_tokenizer`` must MATCH the flag the
     optimizer was built with (it decides whether the gene tokenizer's
     gradient is stopped too — stopping it while the optimizer still
-    decays/updates that subtree would silently corrupt it). With both
-    tokenizers stopped, ``impl="fused"`` runs the fused-encoder Pallas
-    kernel in the training forward. ``impl`` other than "xla" requires
-    that (the kernels have no VJP)."""
+    decays/updates that subtree would silently corrupt it). ``impl="fused"``
+    runs the fused-encoder Pallas kernel in the training forward; with
+    trainable tokenizers its custom VJP (checkpointing forward + recompute
+    Pallas backward, ops/fused_encoder.py) carries the gradients, and with
+    frozen tokenizers XLA DCEs the backward away entirely."""
     assert plateau in ("step", "epoch")
     if impl not in ("xla", "fused"):
         # fused2 would route the gene stack (whose params ARE trainable)
         # through the VJP-less fused modulator
         raise ValueError(f"training impl must be 'xla' or 'fused', got {impl!r}")
-    if impl == "fused" and not (freeze_tokenizers and not train_gene_tokenizer):
-        raise ValueError(
-            "impl='fused' needs freeze_tokenizers=True and "
-            "train_gene_tokenizer=False: the fused encoder kernel encodes "
-            "both window sets and has no backward pass"
-        )
 
     @jax.jit
     def step(state: TrainState, batch, targets, target_mask, plateau_value=None):
