@@ -152,3 +152,65 @@ def test_train_bpe_matches_hf_trainer(tmp_path):
     seq = seqs[0]
     ids, toks = loaded.encode_strand([seq])
     assert "".join(toks) == seq
+
+
+def test_matches_huggingface_on_homopolymer_runs(tok, hf_tok):
+    """Runs of one symbol are where merge ORDER matters most (overlapping
+    same-rank occurrences must resolve leftmost-first): the native bucket
+    queue sorts each rank bucket by position to preserve that. Also mixes
+    run/random boundaries where late-formed pairs land mid-bucket."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(30):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            if rng.random() < 0.6:
+                parts.append(rng.choice("ACGT") * rng.randint(1, 64))
+            else:
+                parts.append(_random_dna(rng, rng.randint(1, 32)))
+        seq = "".join(parts)
+        ours, _ = tok.encode_strand([seq])
+        theirs = hf_tok.encode(seq).ids
+        assert ours == theirs, f"trial {trial}: {seq[:80]}..."
+
+
+def test_matches_huggingface_on_long_sequence(tok, hf_tok):
+    """Gene-window scale (300 kb): the scheduling path that matters for
+    host-build throughput."""
+    import random
+
+    rng = random.Random(3)
+    seq = _random_dna(rng, 300_000)
+    ours, _ = tok.encode_strand([seq])
+    theirs = hf_tok.encode(seq).ids
+    assert ours == theirs
+
+
+def test_concurrent_encodes_are_isolated(tok):
+    """The native scratch is thread_local; concurrent encodes must not
+    interleave state (the sweep builders tokenize from 4 threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import random
+
+    rng = random.Random(11)
+    seqs = [_random_dna(rng, rng.randint(500, 20_000)) for _ in range(16)]
+    expected = [tok.encode_ids(s).tolist() for s in seqs]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        got = list(pool.map(lambda s: tok.encode_ids(s).tolist(), seqs * 4))
+    assert got == (expected * 4)
+
+
+def test_encode_ids_batch_matches_sequential(tok):
+    """encode_ids_batch (one native call) == per-sequence encode_ids,
+    including empty and all-N sequences that normalize to zero words."""
+    import random
+
+    rng = random.Random(13)
+    seqs = ["", "NNN", "ACGTNNNACGT"] + [
+        _random_dna(rng, rng.randint(1, 3000), "ACGTN") for _ in range(20)
+    ]
+    batch = tok.encode_ids_batch(seqs)
+    for s, got in zip(seqs, batch):
+        np.testing.assert_array_equal(got, tok.encode_ids(s))

@@ -309,3 +309,18 @@ def test_concurrent_reads_match_serial(tmp_path):
             got = list(pool.map(lambda r: reader.fetch("chr1", *r), regions))
         assert got == expected
         reader.close()
+
+
+def test_warm_page_cache(tmp_path):
+    """Readahead is best-effort: missing paths and None are ignored, real
+    files are fully read, and the background thread joins cleanly."""
+    from variantformer_tpu.utils.readahead import warm_page_cache
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"x" * (1 << 20))
+    t = warm_page_cache([str(p), None, str(tmp_path / "missing")], background=True)
+    assert t is not None
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # foreground mode returns None and doesn't raise
+    assert warm_page_cache([str(p)], background=False) is None

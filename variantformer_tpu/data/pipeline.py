@@ -129,7 +129,7 @@ class GeneSampleBuilder:
         if strand == "-":
             rows = rows[::-1]
 
-        cre_tokens, cre_lens, cre_labels = [], [], []
+        cre_seqs, cre_labels = [], []
         for row in rows:
             start = max(0, int(row.start_cre) - nb)
             end = int(row.end_cre) + nb
@@ -138,11 +138,15 @@ class GeneSampleBuilder:
                 continue
             if strand == "-":
                 seq = reverse_complement(seq)
-            ids = self.tokenizer.encode_ids(seq)
+            cre_seqs.append(seq)
+            cre_labels.append(MAP_REF_CRE_TO_IDX[row.cre_name])
+        # One native tokenizer call for the whole CRE set: per-CRE ctypes
+        # calls convoy on the GIL across builder threads (utils/bpe.py).
+        cre_tokens, cre_lens = [], []
+        for ids in self.tokenizer.encode_ids_batch(cre_seqs):
             arr, n = self._fit_window(ids)
             cre_tokens.append(arr)
             cre_lens.append(n)
-            cre_labels.append(MAP_REF_CRE_TO_IDX[row.cre_name])
 
         w_start, w_end = self.gene_window(info)
         gene_seq, _ = self.engine.consensus(chrom, w_start, w_end, self.snps_only)

@@ -152,6 +152,28 @@ class BPETokenizer:
             return np.zeros(0, np.int32)
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
+    def encode_ids_batch(self, sequences: list[str]) -> list[np.ndarray]:
+        """Encode many raw sequences with ONE native call (one GIL
+        release/reacquire instead of one per word): the sample builders
+        tokenize ~350 CRE windows per gene from worker threads, where
+        per-word ctypes calls convoy on the GIL. Semantically identical to
+        ``[self.encode_ids(s) for s in sequences]``."""
+        if self._native is None:
+            return [self.encode_ids(s) for s in sequences]
+        words: list[str] = []
+        spans: list[tuple[int, int]] = []  # word range per sequence
+        for seq in sequences:
+            w0 = len(words)
+            words.extend(self.normalize([seq]))
+            spans.append((w0, len(words)))
+        flat_ids, counts = self._native.encode_words_ids(words)
+        token_bounds = np.zeros(len(words) + 1, np.int64)
+        np.cumsum(counts, out=token_bounds[1:])
+        return [
+            flat_ids[token_bounds[w0] : token_bounds[w1]]
+            for (w0, w1) in spans
+        ]
+
     def encode_strand(self, subsequences: list[str]) -> tuple[list[int], list[str]]:
         ids: list[int] = []
         tokens: list[str] = []

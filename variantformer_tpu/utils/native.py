@@ -72,6 +72,16 @@ def get_library():
             np.ctypeslib.ndpointer(np.int32, flags="C"),
             ctypes.c_int32,
         ]
+        lib.vfx_bpe_encode_batch.restype = ctypes.c_int64
+        lib.vfx_bpe_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -205,6 +215,27 @@ class NativeBPE:
         if count < 0:
             raise ValueError(f"native BPE encode failed (code {count})")
         return out_ids[:count]
+
+    def encode_words_ids(
+        self, words: list[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encode many words in ONE native call (one GIL release instead of
+        one per word — see the convoy note in bpe.cpp). Returns
+        (flat_ids, per_word_counts)."""
+        if not words:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        text = "".join(words).encode("ascii")
+        bounds = np.zeros(len(words) + 1, np.int64)
+        np.cumsum([len(w) for w in words], out=bounds[1:])
+        out_ids = np.empty(len(text), np.int32)
+        out_counts = np.empty(len(words), np.int32)
+        total = self._lib.vfx_bpe_encode_batch(
+            self._handle, text, bounds, len(words), out_ids, out_counts,
+            len(text),
+        )
+        if total < 0:
+            raise ValueError(f"native BPE encode failed (code {total})")
+        return out_ids[:total], out_counts
 
     def __del__(self):
         try:
