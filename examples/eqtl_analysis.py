@@ -44,15 +44,27 @@ def main():
         sources, cfg, extras = synthetic_env("/tmp/vfx_example")
         vp = VariantProcessor(sources=sources, config=cfg)
         vp.set_params(init_seq2gene(jax.random.key(0), cfg))
-        chrom, pos, ref, alt = extras["variant"]
-        catalog = pd.DataFrame(
-            {
-                "chrom": [chrom], "pos": [pos], "ref": [ref], "alt": [alt],
-                "tissue": ["tissue0,tissue2"], "slope": [0.4],
-            }
-        )
+        # A multi-association catalog (SNVs spread across GENE1.1's cis
+        # span) so the per-tissue Spearman statistic actually exercises
+        # (n >= 3 per tissue), not just the scoring plumbing.
+        from variantformer_tpu.utils.fasta import FastaReader
+
+        fa = FastaReader(sources.fasta_path)
+        flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+        rows = []
+        rng = np.random.default_rng(7)
+        for pos in (260, 340, 520, 740, 900, 1200):
+            ref = fa.fetch("chr1", pos - 1, pos).upper()
+            if ref not in "ACGT":
+                continue
+            rows.append(
+                {"chrom": "chr1", "pos": pos, "ref": ref, "alt": flip[ref],
+                 "tissue": "tissue0,tissue2",
+                 "slope": float(rng.normal(0.0, 0.5))}
+            )
+        catalog = pd.DataFrame(rows)
         score_col = "VF-SAMPLE-2-exp-log2fc"
-        print("[synthetic mode: demo catalog of one association]")
+        print(f"[synthetic mode: demo catalog of {len(catalog)} associations]")
 
     var_df = catalog[["chrom", "pos", "ref", "alt", "tissue"]]
     kwargs = {}
@@ -60,8 +72,9 @@ def main():
         kwargs = {"vcf_path": extras["vcf"], "sample_name": "S1"}
     long_df = vp.predict(var_df, tempfile.mkdtemp(), **kwargs)
     scores = vp.format_scores(long_df)
-    if artifacts_present():
-        scores = vp.eqtl_scores(scores)
+    # log2fc columns (VF-...-log2fc / VF-agg-log2fc-weighted) come from
+    # eqtl_scores in both modes; SAMPLE mode needs no AF table.
+    scores = vp.eqtl_scores(scores)
     scored = scores.merge(
         catalog.assign(
             variant_id=catalog[["chrom", "pos", "ref", "alt"]].astype(str).agg("_".join, axis=1)
