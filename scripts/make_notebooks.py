@@ -664,6 +664,152 @@ pd.DataFrame(rows)"""),
 ]
 
 # ---------------------------------------------------------------------------
+# eqtl_analysis — flagship narrative notebook
+# ---------------------------------------------------------------------------
+
+EQTL = [
+    ("md", """\
+# eqtl_analysis — model scores vs eQTL-catalog effect sizes
+
+How well do the model's variant effect scores track *measured* genetics?
+eQTL catalogs record, per (variant, gene, tissue), the regression slope of
+expression on genotype across a population cohort. This notebook scores
+each catalog variant with the model's VEP path and reports the per-tissue
+**Spearman rank correlation** between the model's log2 fold changes and the
+catalog slopes — the quality benchmark the reference compares against
+AlphaGenome.
+
+With the released artifacts this runs the real eQTL-catalog table and the
+1.2B checkpoint; the synthetic demo synthesizes a small catalog (>= 3
+associations per tissue, so the statistic genuinely computes) against the
+tiny random model — same code path, toy numbers."""),
+    ("code", SETUP),
+    ("md", """\
+## 1. The catalog
+
+One row per association: variant coordinates, alleles, the tissues it was
+mapped in, and the catalog slope (effect size, sign = direction of the alt
+allele's effect)."""),
+    ("code", """\
+import tempfile
+
+import jax
+
+from variantformer_tpu.api.variantprocessor import VariantProcessor
+from variantformer_tpu.models.init import init_seq2gene
+from variantformer_tpu.utils.fasta import FastaReader
+from _common import real_sources, synthetic_env
+
+if SYNTHETIC:
+    sources, cfg, extras = synthetic_env("/tmp/vfx_example")
+    vp = VariantProcessor(sources=sources, config=cfg)
+    vp.set_params(init_seq2gene(jax.random.key(0), cfg))
+    fa = FastaReader(sources.fasta_path)
+    flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    rng = np.random.default_rng(7)
+    catalog = pd.DataFrame(
+        [
+            {"chrom": "chr1", "pos": p,
+             "ref": (r := fa.fetch("chr1", p - 1, p).upper()),
+             "alt": flip[r], "tissue": "tissue0,tissue2",
+             "slope": float(rng.normal(0.0, 0.5))}
+            for p in (260, 340, 520, 740, 900, 1200)
+        ]
+    )
+    score_col = "VF-SAMPLE-2-exp-log2fc"
+    vcf_arg, sample_arg = extras["vcf"], "S1"
+else:
+    sources, cfg = real_sources()
+    vp = VariantProcessor(sources=sources, config=cfg)
+    vp.load_model()
+    catalog = pd.read_parquet(
+        sources.af_path.replace("1KG_af_hg38_tables", "eqtl_catalog.parquet")
+    )
+    score_col = "VF-agg-log2fc-weighted"
+    vcf_arg, sample_arg = None, None  # 6-population precomputed mode
+catalog"""),
+    ("md", """\
+## 2. Score every association
+
+Each variant runs the VEP triple forward (ref / IUPAC-het / hom-alt share
+one device batch — `variant2exp.ipynb` walks that machinery), the long
+frame pivots to `{POP}-{zygosity}-exp` columns, and `eqtl_scores` reduces
+them to log2 fold changes. In 6-population mode the per-population scores
+are additionally aggregated with 1000-Genomes allele-frequency weights
+(`VF-agg-log2fc-weighted`); the sample-VCF demo scores one genome, so the
+hom/ref contrast (`VF-SAMPLE-2-exp-log2fc`) is the comparable score."""),
+    ("code", """\
+long_df = vp.predict(
+    catalog[["chrom", "pos", "ref", "alt", "tissue"]], tempfile.mkdtemp(),
+    **({"vcf_path": vcf_arg, "sample_name": sample_arg} if SYNTHETIC else {}),
+)
+scores = vp.eqtl_scores(vp.format_scores(long_df))
+scores.head()"""),
+    ("md", """\
+## 3. Per-tissue Spearman
+
+Join scores to catalog slopes on the variant id and rank-correlate within
+each tissue. Spearman (not Pearson) is the convention here: eQTL slopes
+and model fold changes live on different scales, and the benchmark asks
+whether the model *orders* variants by effect like the cohort data does."""),
+    ("code", """\
+from scipy import stats
+
+
+def spearman_by_tissue(scored, slope_col, score_col):
+    out = []
+    for tissue, group in scored.groupby("tissues"):
+        if len(group) >= 3:
+            r, p = stats.spearmanr(group[score_col], group[slope_col])
+            out.append({"tissue": tissue, "spearman_r": r, "p": p,
+                        "n": len(group)})
+    return pd.DataFrame(out)
+
+
+scored = scores.merge(
+    catalog.assign(
+        variant_id=catalog[["chrom", "pos", "ref", "alt"]]
+        .astype(str).agg("_".join, axis=1)
+    )[["variant_id", "slope"]],
+    on="variant_id",
+)
+result = spearman_by_tissue(scored, "slope", score_col)
+result"""),
+    ("md", """\
+## 4. Score vs slope
+
+Each point is one (variant, gene, tissue) association. A positive
+correlation means variants the cohort data calls up-regulating are ones
+the model also scores as up-regulating. (The synthetic demo's random model
+carries no signal — the point of the demo is that the statistic and the
+plumbing run; the artifact run is the benchmark.)"""),
+    ("code", PLOT_STYLE),
+    ("code", """\
+fig, ax = plt.subplots(figsize=(5.4, 4))
+for tissue, group in scored.groupby("tissues"):
+    ax.scatter(group["slope"], group[score_col], s=28, alpha=0.85,
+               label=str(tissue))
+ax.axhline(0, color=MUTED, lw=0.8, zorder=0)
+ax.axvline(0, color=MUTED, lw=0.8, zorder=0)
+ax.set_xlabel("eQTL catalog slope")
+ax.set_ylabel(score_col)
+ax.legend(frameon=False, fontsize=8)
+style_axis(ax)
+plt.tight_layout()
+plt.show()"""),
+    ("md", """\
+## Where to go next
+
+* `variant2exp.ipynb` — the VEP scoring machinery this notebook drives,
+  cell by cell (triple construction, token position tracking, chunked
+  genome-wide sweeps).
+* With artifacts, `vp.eqtl_scores(scores, score="poisson")` swaps the
+  log2fc reduction for the Poisson-CDF score (reference
+  utils/functions.py:304-354), and `gene_pop_agg_score` controls the
+  AF-weighted population aggregation."""),
+]
+
+# ---------------------------------------------------------------------------
 # Remaining flows: thin wrappers over examples/ (same behavior, lighter doc)
 # ---------------------------------------------------------------------------
 
@@ -671,18 +817,7 @@ NOTEBOOKS = {
     "vcf2exp": VCF2EXP,
     "variant2exp": VARIANT2EXP,
     "vcf2risk": VCF2RISK,
-    "eqtl_analysis": [
-        ("md", "# eqtl_analysis — variant effect scores vs eQTL catalogs\n\n"
-               "Scores variants with the VEP path (ref/het/hom triple "
-               "forward), pivots `{POP}-{zyg}-exp` columns, computes log2 "
-               "fold changes, and joins against an eQTL catalog to compute "
-               "per-tissue Spearman correlations (the reference's "
-               "AlphaGenome comparison). See `variant2exp.ipynb` for the "
-               "narrative walkthrough of the underlying scoring."),
-        ("code", SETUP),
-        ("code", RUN.format(script="eqtl_analysis") + "result = mod[\"main\"]()\n"
-                 "result"),
-    ],
+    "eqtl_analysis": EQTL,
     "snp_indel_predictions": [
         ("md", "# snp_indel_predictions — author VCFs from variant tables\n\n"
                "Creates VCFs from in-memory variant specs (SNPs + indels), "

@@ -96,7 +96,9 @@ def test_finetune_example(tmp_path):
     assert len(out) == 2
 
 
-@pytest.mark.parametrize("name", ["vcf2exp", "variant2exp", "vcf2risk"])
+@pytest.mark.parametrize(
+    "name", ["vcf2exp", "variant2exp", "vcf2risk", "eqtl_analysis"]
+)
 def test_flagship_notebook_executes(name):
     """The notebook layer is real: each flagship narrative notebook runs end
     to end under nbclient (synthetic mode), renders dataframes/charts inline,
