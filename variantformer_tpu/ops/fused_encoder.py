@@ -920,8 +920,10 @@ def _unpack_weight_grads(dws, layers, num_heads, head_dim, lanes):
 # + recompute scratch + dx in VMEM at once, so it runs a smaller window
 # block than the inference-tuned forward (24). The math is block-invariant,
 # so the primal (undifferentiated) call keeps the inference plan while the
-# under-vjp forward/backward use these.
-BWD_WINDOW_BLOCK = 16
+# under-vjp forward/backward use these. WB=16 measured 137.4M/128M VMEM at
+# the production encoder geometry (E=512, LP=208, dual stack) — the row
+# scratch and activation blocks scale with WB, so 8 fits with margin.
+BWD_WINDOW_BLOCK = 8
 BWD_FWD_FFN_CHUNKS = 2
 BWD_FFN_CHUNKS = 4
 

@@ -281,6 +281,16 @@ def donor_dp_batch_specs(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
     )
 
 
+def shard_targets_donor_all(targets, mesh: Mesh):
+    """[D, ...] per-donor targets/masks split over ALL mesh axes jointly
+    (the donor-DP layout; see ``donor_dp_batch_specs``)."""
+    axes = tuple(mesh.axis_names)
+    return jax.device_put(
+        targets,
+        NamedSharding(mesh, P(axes, *([None] * (targets.ndim - 1)))),
+    )
+
+
 def shard_batch_donor_all(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
     specs = donor_dp_batch_specs(batch, mesh)
     return Seq2GeneBatch(
@@ -321,5 +331,111 @@ def donor_dp_forward(cfg, mesh: Mesh, batch: Seq2GeneBatch, impl: str = "fused2"
         # is unsupported; replication is structurally guaranteed here
         # (params replicated, outputs all donor-leading)
         check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def donor_dp_train_step(
+    cfg, mesh: Mesh, tx, batch: Seq2GeneBatch, impl: str = "fused",
+    freeze_tokenizers: bool = False, train_gene_tokenizer: bool = True,
+    plateau: str = "epoch",
+):
+    """Donor-DP TRAINING with the fused Pallas kernels intact per device.
+
+    The GSPMD path (``shard_train_state`` + the plain step) cannot partition
+    a pallas_call, so fused training would downgrade to layered XLA the
+    moment it is sharded. Under pure donor DP nothing needs partitioning:
+    each device runs the fused forward AND its recompute Pallas backward
+    (ops/fused_encoder.py custom VJP) on its own donor shard with replicated
+    params, and the only collectives are the gradient psums this function
+    inserts explicitly.
+
+    Exact-parity contract with the single-device step: the device-local
+    gradient is d(sum of local masked losses); psum across all mesh axes
+    plus division by the global mask count reproduces the global mean-loss
+    gradient, so losses and updated params match ``make_seq2gene_train_step``
+    bit-for-reassociation. ``batch`` supplies the field STRUCTURE (reuse the
+    step for any same-structure batch whose donor dim divides the device
+    count); ``impl`` may be "fused" (VJP-backed) or "xla".
+    """
+    import optax
+
+    from variantformer_tpu.train.steps import TrainState
+
+    assert plateau in ("step", "epoch")
+    vg = donor_dp_value_and_grad(
+        cfg, mesh, batch, impl=impl, freeze_tokenizers=freeze_tokenizers,
+        train_gene_tokenizer=train_gene_tokenizer,
+    )
+
+    @jax.jit
+    def step(state: "TrainState", b, targets, mask, plateau_value=None):
+        loss, grads = vg(state.params, b, targets, mask)
+        if plateau_value is None:
+            plateau_value = loss if plateau == "step" else 1.0
+        # grads/loss leave the shard_map replicated, so the optimizer update
+        # is an ordinary jitted op (identical on every device).
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, value=plateau_value
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def donor_dp_value_and_grad(
+    cfg, mesh: Mesh, batch: Seq2GeneBatch, impl: str = "fused",
+    freeze_tokenizers: bool = False, train_gene_tokenizer: bool = True,
+):
+    """jitted (params, batch, targets, mask) -> (loss, grads) under donor-DP
+    shard_map: the device-local gradient of the local masked-loss SUM, psum'd
+    across all mesh axes and divided by the global mask count — exactly the
+    single-device mean-loss gradient. Outputs replicate."""
+    import jax.numpy as jnp
+
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+    from variantformer_tpu.train import losses as L
+
+    if impl not in ("xla", "fused"):
+        raise ValueError(f"training impl must be 'xla' or 'fused', got {impl!r}")
+    axes = tuple(mesh.axis_names)
+    specs = donor_dp_batch_specs(batch, mesh)
+    tspec = P(axes)
+
+    def local_sum_loss(params, b, targets, mask):
+        if freeze_tokenizers:
+            params = dict(params)
+            params["cre_tokenizer"] = jax.lax.stop_gradient(
+                params["cre_tokenizer"]
+            )
+            if not train_gene_tokenizer:
+                params["gene_tokenizer"] = jax.lax.stop_gradient(
+                    params["gene_tokenizer"]
+                )
+        out = seq2gene_forward(params, b, cfg, impl=impl)
+        if cfg.seq2gene.loss_fn == "poisson":
+            elem = L.poisson_nll(out.pred_expression, targets)
+        else:
+            elem = L.mse(out.pred_expression, targets)
+        elem = jnp.where(mask, elem, 0.0)
+        return elem.sum(), mask.sum()
+
+    def body(params, b, targets, mask):
+        (s, c), grads = jax.value_and_grad(local_sum_loss, has_aux=True)(
+            params, b, targets, mask
+        )
+        s = jax.lax.psum(s, axes)
+        c = jax.lax.psum(jnp.asarray(c, jnp.float32), axes)
+        denom = jnp.maximum(c, 1.0)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axes) / denom, grads)
+        return s / denom, grads
+
+    sm = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), specs, tspec, tspec),
+        out_specs=(P(), P()),
+        check_vma=False,  # same pallas_call caveat as donor_dp_forward
     )
     return jax.jit(sm)
