@@ -104,9 +104,15 @@ def main():
                 100 * model_flops / dt / 1e12 / V5E_BF16_PEAK_TFLOPS, 1
             ),
         }
-        report[f"full_model_{impl}"] = entry
+        suffix = "" if args.d == 1 else f"_d{args.d}"
+        report[f"full_model_{impl}{suffix}"] = entry
         print(impl, entry, flush=True)
 
+    if args.out and Path(args.out).exists():
+        # merge: keep other-d entries from previous runs
+        merged = json.loads(Path(args.out).read_text())
+        merged.update(report)
+        report = merged
     text = json.dumps(report, indent=2)
     if args.out:
         Path(args.out).write_text(text)

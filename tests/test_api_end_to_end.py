@@ -390,3 +390,50 @@ def test_vep_batched_dispatch_matches_single(fixture_env, tmp_path):
         np.stack(single["gene_emb"].to_list()).astype(float),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_vep_canonical_cres_matches_bucketed(fixture_env, tmp_path):
+    """canonical_cres (one CRE-axis device shape for the whole sweep) must
+    reproduce the bucketed predictions exactly — suffix window padding is
+    masked, so shape canonicalization never changes the math. It exists
+    because each distinct c-bucket is a fresh multi-minute compile on
+    remote-compile rigs (measured ~8 min/bucket inside a timed VEP run)."""
+    import dataclasses
+
+    from variantformer_tpu.config import PrecisionPolicy
+
+    seq = fixture_env["seq"]
+    cfg = dataclasses.replace(
+        _tiny_cfg(vocab_size=500),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    rows = []
+    for pos in (321, 755):
+        ref = seq[pos - 1]
+        rows.append({
+            "chrom": "chr1", "pos": pos, "ref": ref,
+            "alt": {"A": "G", "C": "T", "G": "A", "T": "C"}[ref],
+            "tissue": "tissue0,tissue2",
+        })
+    var_df = pd.DataFrame(rows)
+
+    def run(out_name, canonical):
+        vp = VariantProcessor(sources=fixture_env["sources"], config=cfg)
+        vp.set_params(init_seq2gene(jax.random.key(1), cfg))
+        df = vp.predict(
+            var_df, str(tmp_path / out_name),
+            vcf_path=fixture_env["vcf"], sample_name="S1",
+            canonical_cres=canonical,
+        )
+        return df.sort_values(
+            ["pos", "genes", "tissues", "population", "zygosity"]
+        ).reset_index(drop=True)
+
+    bucketed = run("bucketed", None)
+    canonical = run("canonical", 96)  # well above the fixture's CRE counts
+    assert len(bucketed) == len(canonical) and len(bucketed) > 0
+    np.testing.assert_allclose(
+        canonical["gene_exp"].to_numpy(float),
+        bucketed["gene_exp"].to_numpy(float),
+        rtol=1e-5, atol=1e-6,
+    )

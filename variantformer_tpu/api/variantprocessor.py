@@ -151,7 +151,8 @@ class VariantProcessor:
         return VepSampleBuilder(base)
 
     def _forward_triples(
-        self, vep_samples: list, tissues: list[int], pad_to: int | None = None
+        self, vep_samples: list, tissues: list[int], pad_to: int | None = None,
+        cre_pad_to: int | None = None,
     ) -> list:
         """Run k ref/het/hom triples through the model in ONE dispatch
         (D = 3k) and split the outputs back per triple. The reference's
@@ -169,7 +170,7 @@ class VariantProcessor:
         if pad_to is not None and n_real < pad_to:
             vep_samples = vep_samples + [vep_samples[-1]] * (pad_to - n_real)
         flat = [s for vs in vep_samples for s in vs.samples]
-        batch = pack_samples(flat, tissues)
+        batch = pack_samples(flat, tissues, cre_pad_to=cre_pad_to)
         first = vep_samples[0]
         ctp = None
         if not np.isnan(first.cre_token_position):
@@ -209,6 +210,7 @@ class VariantProcessor:
         chunks: int = 1,
         chunk_id: int = 0,
         variants_per_dispatch: int | None = None,
+        canonical_cres: int | None = None,
     ) -> pd.DataFrame:
         """chunks/chunk_id partition the variant list for resumable sweeps
         (reference variantprocessor.py:273-301): a chunk whose output file
@@ -219,7 +221,16 @@ class VariantProcessor:
         (vcf2exp measured ~+20% at d=4). Default 1 (the reference's
         batch_size==1 contract and the warmed compile shape); each new k
         is a fresh one-time compile per bucket shape. Env override:
-        VFX_VEP_BATCH."""
+        VFX_VEP_BATCH.
+
+        canonical_cres sets a FLOOR on the CRE-axis device shape so variants
+        at different loci (different CRE counts -> different 64-step
+        buckets) share ONE compiled executable instead of paying a fresh
+        multi-minute compile per bucket (measured: each extra bucket cost
+        ~8 min on the remote compiler, dwarfing the <=15% padded-FLOPs
+        cost). Use the production CRE ceiling (384 at 300 kb windows, the
+        bench shape) for genome-scale sweeps. Env override:
+        VFX_VEP_CANONICAL_C."""
         assert self._vp._params is not None, "call load_model()/set_params() first"
         Path(output_dir).mkdir(parents=True, exist_ok=True)
         out_file = self._output_path(output_dir, chunks, chunk_id)
@@ -237,6 +248,9 @@ class VariantProcessor:
 
         if variants_per_dispatch is None:
             variants_per_dispatch = int(os.environ.get("VFX_VEP_BATCH", "1"))
+        if canonical_cres is None:
+            env_c = os.environ.get("VFX_VEP_CANONICAL_C")
+            canonical_cres = int(env_c) if env_c else None
         k = max(1, variants_per_dispatch)
         bucket_step, gene_cap = 64, self.config.dataset.max_chunks
         predictions: list[dict | None] = [None] * len(self.gene_variant_pairs)
@@ -261,7 +275,8 @@ class VariantProcessor:
             # (fragmented group keys, see docstring).
             pad_to = k if pad else None
             outs = self._forward_triples(
-                [s for _, s in idxs_samples], list(key[0]), pad_to=pad_to
+                [s for _, s in idxs_samples], list(key[0]), pad_to=pad_to,
+                cre_pad_to=key[3],
             )
             pad_stats["real"] += len(idxs_samples)
             if pad_to is not None:
@@ -273,23 +288,33 @@ class VariantProcessor:
 
         builders: dict[str | None, VepSampleBuilder] = {}
         manifests = None
-        for pair_index, pair in enumerate(self.gene_variant_pairs):
+        for pair in self.gene_variant_pairs:
             pvcf = pair["vcf_path"]
             if pvcf not in builders:
                 builders[pvcf] = self._vep_builder(pvcf)
+            if pvcf is None and manifests is None:
+                from variantformer_tpu.utils import assets
+
+                manifests = (
+                    assets.cre_sequences_manifest(),
+                    assets.gene_sequences_manifest(),
+                )
+
+        def build_pair(indexed):
+            """Host sample build for one (variant, gene) pair — the VEP
+            bottleneck at production scale (~1 s/variant of consensus + BPE
+            vs ~0.45 s of device time), so builds run on worker threads
+            (the C++ consensus/tokenizer release the GIL; one batched
+            tokenizer call per build, utils/bpe.py) overlapped with the
+            main thread's grouped dispatches."""
+            pair_index, pair = indexed
+            pvcf = pair["vcf_path"]
             # Precomputed per-population sequences (the reference's
             # load_gene_data path) apply whenever no sample VCF backs the
             # pair; hg38 pairs fall back to the local reference consensus
             # when the artifacts are absent.
             precomputed = None
             if pvcf is None:
-                if manifests is None:
-                    from variantformer_tpu.utils import assets
-
-                    manifests = (
-                        assets.cre_sequences_manifest(),
-                        assets.gene_sequences_manifest(),
-                    )
                 precomputed = (pair["population"], *manifests)
             try:
                 sample = builders[pvcf].build(
@@ -297,31 +322,32 @@ class VariantProcessor:
                     validate_ref=(pair["sample_name"] == "hg38"),
                     precomputed=precomputed,
                 )
-            except Exception as exc:  # artifacts absent/offline (s3fs, manifest)
+            except Exception:  # artifacts absent/offline (s3fs, manifest)
                 if precomputed is not None and pair["sample_name"] == "hg38":
                     sample = builders[pvcf].build(
                         pair["variant"], pair["gene"], validate_ref=True
                     )
                 else:
                     raise
-            if not sample.samples:
-                predictions[pair_index] = dict(
-                    variant_type=sample.variant_type, out=None
-                )
-                continue
-            c = max(s.cre_tokens.shape[0] for s in sample.samples)
-            g = max(s.gene_tokens.shape[0] for s in sample.samples)
-            key = (
-                tuple(pair["variant"].tissue),
-                bool(np.isnan(sample.cre_token_position)),
-                any(np.isnan(gp) for gp in sample.gene_token_positions),
-                -(-c // bucket_step) * bucket_step,
-                gene_cap if g == gene_cap else -(-g // bucket_step) * bucket_step,
+            return pair_index, pair, sample
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from variantformer_tpu.api.sweeps import _bounded_map
+
+        workers = int(os.environ.get("VFX_VEP_BUILD_WORKERS", "4"))
+        pool = ThreadPoolExecutor(max_workers=workers)
+        built = _bounded_map(
+            pool, build_pair, enumerate(self.gene_variant_pairs),
+            limit=workers * 2 * max(k, 1),
+        )
+        try:
+            self._consume_builds(
+                built, predictions, buffers, filled, flush, k,
+                bucket_step, gene_cap, canonical_cres,
             )
-            buffers.setdefault(key, []).append((pair_index, sample))
-            if len(buffers[key]) >= k:
-                filled.add(key)
-                flush(key)
+        finally:
+            pool.shutdown(wait=True)
         for key in list(buffers):
             flush(key, pad=key in filled)
         total = pad_stats["real"] + pad_stats["padded"]
@@ -337,6 +363,37 @@ class VariantProcessor:
             predictions, output_dir, vcf_path=vcf_path, out_file=out_file
         )
         return df
+
+    @staticmethod
+    def _consume_builds(
+        built, predictions, buffers, filled, flush, k, bucket_step, gene_cap,
+        canonical_cres,
+    ):
+        """Group worker-built samples by device-shape key and flush every k
+        (see ``predict``). Runs on the main thread so dispatch/JAX state is
+        single-threaded; ordering is the submission order (_bounded_map)."""
+        for pair_index, pair, sample in built:
+            if not sample.samples:
+                predictions[pair_index] = dict(
+                    variant_type=sample.variant_type, out=None
+                )
+                continue
+            c = max(s.cre_tokens.shape[0] for s in sample.samples)
+            g = max(s.gene_tokens.shape[0] for s in sample.samples)
+            c_key = -(-c // bucket_step) * bucket_step
+            if canonical_cres:
+                c_key = max(canonical_cres, c_key)
+            key = (
+                tuple(pair["variant"].tissue),
+                bool(np.isnan(sample.cre_token_position)),
+                any(np.isnan(gp) for gp in sample.gene_token_positions),
+                c_key,
+                gene_cap if g == gene_cap else -(-g // bucket_step) * bucket_step,
+            )
+            buffers.setdefault(key, []).append((pair_index, sample))
+            if len(buffers[key]) >= k:
+                filled.add(key)
+                flush(key)
 
     # -- output assembly ----------------------------------------------------
     def compile_predictions(

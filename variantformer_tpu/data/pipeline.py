@@ -185,6 +185,7 @@ def pack_samples(
     length: int | None = None,
     gene_cap: int | None = 200,
     cre_token_bucket_step: int | None = None,
+    cre_pad_to: int | None = None,
 ):
     """Pack host samples into a Seq2GeneBatch with bucketed static shapes.
     ``gene_cap`` (dataset max_chunks) joins the gene-axis bucket ladder since
@@ -209,6 +210,11 @@ def pack_samples(
     if length is None:
         length = samples[0].gene_tokens.shape[1]
     c_max = _bucket(max((s.cre_tokens.shape[0] for s in samples), default=1), bucket_step)
+    if cre_pad_to:
+        # canonical CRE-axis floor: collapse per-locus count variation onto
+        # ONE device shape (each distinct bucket is a fresh multi-minute
+        # compile on remote-compile rigs; see VariantProcessor.predict)
+        c_max = max(c_max, cre_pad_to)
     extra = (gene_cap,) if gene_cap else ()
     g_max = _bucket(max(s.gene_tokens.shape[0] for s in samples), bucket_step,
                     extra=extra)
