@@ -19,10 +19,13 @@ is independent through the entire depth. That makes the encoder one kernel:
     (measured on the fused modulator: ~70 us/step of fixed overhead),
   * QKV is one fused [rows, E] @ [E, 3*H*D] projection staged in VMEM
     scratch (SSA values across the head unroll become register spills),
-  * window_block=24 (~200 grid steps at production shapes) amortizes both
-    the per-step overhead and the per-block weight re-stream; WB=32
-    measured 136.5 MB of VMEM (8.5 over budget — the FFN/gelu transients
-    scale with WB), WB=24 fits.
+  * window_block=32 with ffn_chunks=2 (~150 grid steps at production
+    shapes) amortizes both the per-step overhead and the per-block weight
+    re-stream. WB=32 at chunks=1 measured 136.5 MB of VMEM (8.5 over
+    budget — the FFN/gelu transients scale with WB); chunking the FFN rows
+    brings it back under, and the on-chip sweep (encoder_wb_probe, round 3)
+    measured 171.4 ms vs WB=24's 195.5 for the d=4 window set (-12%);
+    WB=40:5 ties (172.4), WB=48:6 fails to compile.
 
 Head slicing is lane-aligned: projections are zero-padded per head to 64
 lanes (no-op at the released head_dim 64), and the attention output feeds
@@ -352,8 +355,8 @@ def fused_window_encoder(
     slopes: jax.Array | None,
     scale: float,
     num_heads: int,
-    window_block: int = 24,
-    ffn_chunks: int = 1,
+    window_block: int = 32,
+    ffn_chunks: int = 2,
 ) -> jax.Array:
     """Returns pooled window embeddings [N, E] (bf16)."""
     n, l, e = x_emb.shape
@@ -389,8 +392,8 @@ def fused_window_encoder_dual(
     slopes: jax.Array | None,
     scale: float,
     num_heads: int,
-    window_block: int = 24,
-    ffn_chunks: int = 1,
+    window_block: int = 32,
+    ffn_chunks: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Encode two window sets with DIFFERENT weight stacks (same geometry)
     in ONE pallas call: each set pads to a whole number of window blocks and
