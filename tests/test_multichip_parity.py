@@ -554,3 +554,47 @@ def test_use_mesh_tissue_partition_matches_single_device(tmp_path):
         np.asarray(list(base["predicted_expression"])[0], float),
         rtol=2e-5, atol=2e-5,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_fit_loop_with_donor_dp_fused_step():
+    """The high-level fit loop drives donor-DP fused training end to end:
+    step_fn=donor_dp_train_step, state replicated, batches placed by
+    donor_dp_shard_fn. Loss must track the single-device fused fit."""
+    import jax.numpy as jnp
+
+    from variantformer_tpu.train.loop import fit
+    from variantformer_tpu.train.optimizer import make_optimizer
+    from variantformer_tpu.train.steps import TrainState, make_seq2gene_train_step
+
+    cfg = _near_real_cfg()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = _example_batch(d=8, c=12, g=6, length=12, t=5, vocab=64)
+    rng = np.random.default_rng(9)
+    targets = jnp.asarray(rng.uniform(0, 3, (8, 5)), jnp.float32)
+    mask = jnp.ones((8, 5), bool)
+
+    def batches(_epoch):
+        return [(batch, targets, mask)]
+
+    def make_state(tx):
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    tx = make_optimizer(params, learning_rate=1e-3, plateau="epoch")
+    single = fit(
+        make_state(tx),
+        make_seq2gene_train_step(cfg, tx, impl="fused"),
+        batches, epochs=2,
+    )
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    tx2 = make_optimizer(params, learning_rate=1e-3, plateau="epoch")
+    dp = fit(
+        pmesh.replicate_train_state(make_state(tx2), m),
+        pmesh.donor_dp_train_step(cfg, m, tx2, batch, impl="fused"),
+        batches, epochs=2,
+        shard_fn=pmesh.donor_dp_shard_fn(m),
+    )
+    for a, b in zip(single.history, dp.history):
+        np.testing.assert_allclose(b["train_loss"], a["train_loss"], rtol=1e-3)
+    assert dp.history[-1]["train_loss"] < dp.history[0]["train_loss"]

@@ -384,6 +384,39 @@ def donor_dp_train_step(
     return step
 
 
+def replicate_train_state(state, mesh: Mesh):
+    """Place a TrainState fully replicated (the donor-DP training layout:
+    params and optimizer state are identical on every device; only the
+    batch shards)."""
+    from variantformer_tpu.train.steps import TrainState
+
+    repl = NamedSharding(mesh, P())
+    place = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+    return TrainState(
+        place(state.params), place(state.opt_state), place(state.step)
+    )
+
+
+def donor_dp_shard_fn(mesh: Mesh):
+    """Per-batch placement for ``train.loop.fit(shard_fn=...)`` under
+    donor-DP: Seq2GeneBatch fields split donor-leading over ALL mesh axes,
+    bare arrays (targets/masks) likewise, scalars pass through. Pair with
+    ``donor_dp_train_step`` and ``replicate_train_state``."""
+
+    def fn(args: tuple) -> tuple:
+        out = []
+        for a in args:
+            if isinstance(a, Seq2GeneBatch):
+                out.append(shard_batch_donor_all(a, mesh))
+            elif getattr(a, "ndim", 0) >= 1:
+                out.append(shard_targets_donor_all(a, mesh))
+            else:
+                out.append(a)
+        return tuple(out)
+
+    return fn
+
+
 def donor_dp_value_and_grad(
     cfg, mesh: Mesh, batch: Seq2GeneBatch, impl: str = "fused",
     freeze_tokenizers: bool = False, train_gene_tokenizer: bool = True,

@@ -172,7 +172,11 @@ def fit(
       shard_fn: override for the per-batch placement (multi-host runs pass
         ``parallel.launch.globalize_step_args`` and globalize the state
         themselves — see scripts/launch_train.py); with ``shard_fn`` set and
-        ``mesh=None`` the TrainState is used as given.
+        ``mesh=None`` the TrainState is used as given. For donor-DP training
+        that keeps the fused Pallas kernels per chip, pass
+        ``step_fn=parallel.mesh.donor_dp_train_step(...)``,
+        ``shard_fn=parallel.mesh.donor_dp_shard_fn(mesh)`` and a
+        ``parallel.mesh.replicate_train_state``-placed state (mesh=None).
     """
     plateau = plateau or PlateauTracker()
     history: list[dict] = []
