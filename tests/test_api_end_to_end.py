@@ -437,3 +437,59 @@ def test_vep_canonical_cres_matches_bucketed(fixture_env, tmp_path):
         bucketed["gene_exp"].to_numpy(float),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_create_vcf_streaming_merge(processor, fixture_env, tmp_path):
+    """Merging into an existing donor VCF must splice new records in position
+    order, override at equal positions, handle fresh chromosomes, and stay a
+    valid indexed BGZF (the merge STREAMS the donor VCF — O(1) memory)."""
+    from variantformer_tpu.utils.bgzf import write_bgzf
+    from variantformer_tpu.utils.vcf import VCFReader
+
+    seq = fixture_env["seq"]
+    donor = tmp_path / "donor.vcf.gz"
+    donor_lines = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=chr1>",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tDONOR7",
+        f"chr1\t100\t.\t{seq[99]}\tT\t.\tPASS\t.\tGT\t0|1",
+        f"chr1\t200\t.\t{seq[199]}\tG\t.\tPASS\t.\tGT\t1|1",
+        f"chr1\t300\t.\t{seq[299]}\tA\t.\tPASS\t.\tGT\t0|1",
+    ]
+    # a donor alt equal to REF would be dropped; patch alts distinct from ref
+    def _alt(p, c):
+        return c if seq[p - 1] != c else ("A" if c != "A" else "C")
+    donor_lines[4] = f"chr1\t100\t.\t{seq[99]}\t{_alt(100,'T')}\t.\tPASS\t.\tGT\t0|1"
+    donor_lines[5] = f"chr1\t200\t.\t{seq[199]}\t{_alt(200,'G')}\t.\tPASS\t.\tGT\t1|1"
+    donor_lines[6] = f"chr1\t300\t.\t{seq[299]}\t{_alt(300,'A')}\t.\tPASS\t.\tGT\t0|1"
+    write_bgzf(str(donor), ("\n".join(donor_lines) + "\n").encode())
+
+    new_df = pd.DataFrame(
+        {
+            "chrom": ["chr1", "chr1"],
+            "pos": [150, 200],           # one spliced between, one override
+            "ref": [seq[149], seq[199]],
+            "alt": [_alt(150, "C"), _alt(200, "T")],
+            "GT": ["0|1", "0|1"],
+        }
+    )
+    out = processor.create_vcf_from_variant(
+        new_df, str(tmp_path / "merged.vcf.gz"), vcf_path=str(donor)
+    )
+    reader = VCFReader(out, sample="DONOR7")
+    got = reader.query("chr1", 0, 1000)
+    assert [v.pos for v in got] == [100, 150, 200, 300]
+    # override at 200: the new 0|1 GT replaced the donor's 1|1
+    v200 = got[2]
+    assert v200.alleles[0] == seq[199] and v200.alleles[1] == _alt(200, "T")
+    # sample name carried over from the donor header
+    assert reader.sample_names == ["DONOR7"]
+    # unsorted donor input is rejected with a clear error
+    bad = tmp_path / "unsorted.vcf.gz"
+    write_bgzf(str(bad), ("\n".join(
+        donor_lines[:4] + [donor_lines[6], donor_lines[4]]) + "\n").encode())
+    with pytest.raises(ValueError, match="not coordinate-sorted"):
+        processor.create_vcf_from_variant(
+            new_df, str(tmp_path / "bad_merge.vcf.gz"), vcf_path=str(bad)
+        )

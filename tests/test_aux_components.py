@@ -541,3 +541,101 @@ def test_poisson_and_log2fc_scores_population_mode(tmp_path):
     sout = generate_log2fc_score(sdf, None)
     assert "VF-SAMPLE-2-exp-log2fc" in sout.columns
     assert not any(c.startswith("VF-agg") for c in sout.columns)
+
+
+def test_artifact_list_complete_and_valid():
+    """Downloader list parity with the reference (~40+ single files), bulk
+    prefixes, manifest entries, and the offline validate() contract
+    (reference download_artifacts.py:51-220)."""
+    from variantformer_tpu.data import download_artifacts as da
+
+    da.validate()  # must not raise: unique local paths, prefix hygiene
+    singles = [a for a in da.ARTIFACTS if not a.is_url]
+    assert len(singles) >= 40, len(singles)
+    keys = {a.remote_key for a in da.ARTIFACTS}
+    # the four manifest parquets addressing per-population data + AD predictors
+    assert "model/common/cres_all_genes_manifest.parquet" in keys
+    assert "model/common/reference_genomes/genes_seqs_manifest.parquet" in keys
+    assert "model/common/reference_genomes/cres_seqs_manifest.parquet" in keys
+    assert "alzheimer_disease/v4_pcg/manifest.parquet" in keys
+    assert "alzheimer_disease/v4_ag/manifest.parquet" in keys
+    # all 24 AF tables
+    assert sum("1KG_af_hg38_tables" in k for k in keys) == 24
+    # bulk prefixes all end with '/'
+    assert all(a.remote_key.endswith("/") for a in da.PREFIX_ARTIFACTS)
+    # duplicate local paths must be rejected
+    import pytest
+
+    bad = da.ARTIFACTS + [da.Artifact("x/other.bin", da.ARTIFACTS[0].local_path)]
+    orig = da.ARTIFACTS
+    da.ARTIFACTS = bad
+    try:
+        with pytest.raises(ValueError):
+            da.validate()
+    finally:
+        da.ARTIFACTS = orig
+
+
+def test_gene_interval_index_matches_row_scan():
+    """GeneIntervalIndex must return EXACTLY the reference row-scan's genes
+    (multi_datasets_loader.py:58-92 semantics: start-w < pos < end+w, strict)
+    and be >=100x faster at per-variant query time on a 10k-variant sweep."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from variantformer_tpu.data.vep import Variant, get_probable_genes
+    from variantformer_tpu.utils.intervals import GeneIntervalIndex
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    starts = rng.integers(1, 50_000_000, n)
+    lens = rng.integers(200, 2_000_000, n)
+    gencode = pd.DataFrame(
+        {
+            "gene_id": [f"G{i}" for i in range(n)],
+            "chromosome": rng.choice(["chr1", "chr2", "chr3"], n),
+            "start": starts,
+            "end": starts + lens,
+            "strand": rng.choice(["+", "-"], n),
+            "gene_name": [f"name{i}" for i in range(n)],
+        }
+    )
+    w = 1_000_000
+
+    def row_scan(chrom, pos):
+        out = []
+        for _, g in gencode[gencode["chromosome"] == chrom].iterrows():
+            if g["start"] - w < pos < g["end"] + w:
+                out.append(g["gene_id"])
+        return sorted(out)
+
+    index = GeneIntervalIndex(gencode, w)
+    probe = [("chr1", 1), ("chr2", 25_000_000), ("chr3", 52_000_000),
+             ("chr1", int(starts[0])), ("chr2", int(starts[1]) - w),
+             ("chrX", 5), ("chr3", int(starts[2] + lens[2] + w - 1)),
+             ("chr1", int(starts[3] + lens[3] + w))]
+    for chrom, pos in probe:
+        got = sorted(r["gene_id"] for r in index.query(chrom, pos))
+        assert got == row_scan(chrom, pos), (chrom, pos)
+
+    # get_probable_genes facade: same records, index reused
+    v = Variant(chrom="chr1", pos=25_000_000, ref="A", alt="T",
+                tissue=[], gene_id=[])
+    via_facade = get_probable_genes(gencode, v, index=index)
+    assert sorted(r["gene_id"] for r in via_facade) == row_scan("chr1", v.pos)
+    assert all(set(r) >= {"gene_id", "start", "end", "strand", "chromosome",
+                          "gene_name"} for r in via_facade)
+
+    # speed: indexed queries vs the row scan on the same positions
+    positions = rng.integers(1, 52_000_000, 10_000)
+    t0 = time.perf_counter()
+    for pos in positions:
+        index.query("chr1", int(pos))
+    t_idx = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for pos in positions[:20]:  # row scan is too slow to run 10k times
+        row_scan("chr1", int(pos))
+    t_scan = (time.perf_counter() - t0) * (len(positions) / 20)
+    assert t_scan / t_idx >= 100, (t_scan, t_idx)

@@ -5,6 +5,10 @@ from pathlib import Path
 
 import pytest
 
+# Whole-flow example/notebook executions take minutes each on the CPU mesh;
+# they belong to the slow tier (default gate: pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 EXAMPLES = REPO / "examples"
 

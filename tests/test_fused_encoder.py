@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from variantformer_tpu.config import WindowEncoderConfig
@@ -218,6 +219,7 @@ def test_vjp_pad_rows_zero_grad():
         assert np.abs(dx[i, : lens[i]]).max() > 0
 
 
+@pytest.mark.slow
 def test_dual_vjp_matches_two_single():
     """The dual-stack VJP is the same kernel math with a two-slot weight
     gradient — it must agree with two single-stack calls bit-for-bit."""

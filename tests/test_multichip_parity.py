@@ -124,6 +124,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_launcher(tmp_path):
     """Two jax.distributed processes coordinate over localhost, split the
     gene list, and each writes its own shard + stats."""
@@ -176,6 +177,7 @@ def test_two_process_distributed_launcher(tmp_path):
     assert [s["genes"] for s in stats] == [1, 1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_training(tmp_path):
     """TRUE multi-host data-parallel training: two jax.distributed processes
     share one global mesh, each contributes its donors to every global batch,
@@ -336,6 +338,7 @@ def test_donor_dp_fused_forward_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.slow
 def test_donor_dp_fused_train_step_matches_single_device():
     """Donor-DP TRAINING with the fused encoder VJP intact per device: two
     optimizer steps on the 8-device mesh (shard_map, explicit grad psums)
@@ -557,6 +560,7 @@ def test_use_mesh_tissue_partition_matches_single_device(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.slow
 def test_fit_loop_with_donor_dp_fused_step():
     """The high-level fit loop drives donor-DP fused training end to end:
     step_fn=donor_dp_train_step, state replicated, batches placed by

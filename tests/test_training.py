@@ -274,6 +274,7 @@ def test_fit_seq2gene_from_shards(tmp_path):
     assert res.history[-1]["val_loss"] < res.history[0]["val_loss"]
 
 
+@pytest.mark.slow
 def test_fit_on_mesh_matches_unmeshed(tmp_path):
     """fit(mesh=...) — DP+TP training in one flag — reproduces the
     single-device loss trajectory (needs the 8-device CPU mesh; batch size
@@ -377,6 +378,7 @@ def test_fit_early_stop(tmp_path):
     assert res.best_epoch == 1
 
 
+@pytest.mark.slow
 def test_remat_matches_and_trains():
     """jax.checkpoint-wrapped layer scans: identical forward, working grads."""
     import dataclasses
@@ -717,6 +719,7 @@ def test_freeze_tokenizers_step_matches_and_runs_fused():
         make_seq2gene_train_step(cfg, None, impl="fused2")
 
 
+@pytest.mark.slow
 def test_fused_encoder_backward_trains_tokenizers():
     """impl='fused' with TRAINABLE tokenizers: the fused encoder's custom
     VJP (recompute Pallas backward) must carry real gradients into both

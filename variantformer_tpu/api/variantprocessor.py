@@ -27,6 +27,7 @@ from variantformer_tpu.data.vep import (
     get_probable_genes,
 )
 from variantformer_tpu.utils.fasta import FastaReader
+from variantformer_tpu.utils.intervals import GeneIntervalIndex
 from variantformer_tpu.utils.scoring import generate_log2fc_score
 from variantformer_tpu.utils.vcf import VCFReader
 
@@ -102,10 +103,11 @@ class VariantProcessor:
 
     def _pairs(self, variants, vcf_path, sample_name):
         gencode = self._vp.get_genes()
+        index = GeneIntervalIndex(gencode)  # built once, O(log n) per variant
         pairs = []
         mapped = 0
         for variant in variants:
-            probable = get_probable_genes(gencode, variant)
+            probable = get_probable_genes(gencode, variant, index=index)
             if variant.gene_id:
                 probable = [
                     g for g in probable

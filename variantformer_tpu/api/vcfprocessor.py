@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from collections import deque
 from pathlib import Path
 
 import jax
@@ -25,10 +26,10 @@ from variantformer_tpu.config import ModelConfig, load_model_config
 from variantformer_tpu.data.pipeline import GeneSampleBuilder, pack_samples
 from variantformer_tpu.models.seq2gene import Seq2GeneBatch, seq2gene_forward
 from variantformer_tpu.utils import assets
-from variantformer_tpu.utils.bgzf import write_bgzf
+from variantformer_tpu.utils.bgzf import write_bgzf_lines
 from variantformer_tpu.utils.bpe import BPETokenizer
 from variantformer_tpu.utils.fasta import FastaReader
-from variantformer_tpu.utils.vcf import VCFReader
+from variantformer_tpu.utils.vcf import VCFReader, VCFStream
 
 log = logging.getLogger(__name__)
 
@@ -108,9 +109,10 @@ class VCFProcessor:
 
         Replaces the reference's bgzip/tabix/bcftools subprocess chain
         (vcfprocessor.py:62-214): reference alleles are validated against the
-        FASTA, records are sorted and deduplicated in pandas, and the output
-        is written as BGZF. No tabix index is needed — the in-process VCF
-        reader builds its own positional index.
+        FASTA; when merging, the donor VCF is STREAMED (O(1) memory — a
+        multi-million-record donor file is never materialized) with the new
+        records spliced in position order, a new record replacing any donor
+        record at the same position; output is BGZF + an in-process .tbi.
         """
         for col in ("chrom", "pos", "ref", "alt", "GT"):
             assert col in variant_df.columns, f"{col} column is required"
@@ -126,49 +128,100 @@ class VCFProcessor:
                     f"expected {ref!r} but found {found!r}"
                 )
 
-        records = []
+        # New records: keep-last per (chrom, pos) within variant_df, queued
+        # per chromosome in position order (the old all-in-pandas merge is
+        # preserved as dedup semantics: a new record REPLACES any existing
+        # record at the same position).
+        new: dict[tuple[str, int], tuple[str, str, str]] = {}
+        for _, row in variant_df.iterrows():
+            key = (str(row["chrom"]), int(row["pos"]))
+            new[key] = (str(row["ref"]), str(row["alt"]), str(row["GT"]))
+        pending: dict[str, deque] = {}
+        for (chrom, pos) in sorted(new):
+            ref, alt, gt = new[(chrom, pos)]
+            pending.setdefault(chrom, deque()).append((pos, ref, alt, gt))
+
         sample_name = "SAMPLE"
+        contigs = sorted(pending)
         if vcf_path is not None:
-            existing = VCFReader(vcf_path, use_index=False)  # need the full table
-            sample_name = existing.sample_names[0] if existing.sample_names else "SAMPLE"
-            for chrom, (positions, variants) in existing._by_chrom.items():
-                for pos, var in zip(positions, variants):
+            # One cheap header pass: sample name + declared contigs, so the
+            # header can be emitted before streaming a single record.
+            hdr_scan = VCFReader.__new__(VCFReader)
+            hdr_scan.path = vcf_path
+            existing_contigs = []
+            for raw in hdr_scan._lines():
+                if raw.startswith(b"##contig=<ID="):
+                    existing_contigs.append(
+                        raw.decode().split("ID=", 1)[1].split(",", 1)[0].rstrip(">")
+                    )
+                    continue
+                if raw.startswith(b"#CHROM"):
+                    names = raw.decode().split("\t")[9:]
+                    sample_name = names[0] if names else "SAMPLE"
+                    break
+                if not raw.startswith(b"#"):
+                    break
+            contigs = list(dict.fromkeys(existing_contigs + contigs))
+
+        def _fmt(chrom, pos, ref, alt, gt):
+            return f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t.\tPASS\t.\tGT\t{gt}"
+
+        def merged_lines():
+            yield "##fileformat=VCFv4.2"
+            yield f"##reference={self.sources.fasta_path}"
+            for chrom in contigs:
+                yield f"##contig=<ID={chrom}>"
+            yield '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">'
+            yield ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                   + sample_name)
+            seen: set[str] = set()
+            cur: str | None = None
+            q: deque = deque()
+            last_pos = -1
+            if vcf_path is not None:
+                # Stream the donor VCF (O(1) memory) and splice the new
+                # records in position order; the input must be coordinate-
+                # sorted with grouped chromosomes (the VCF/tabix contract).
+                for chrom, var in VCFStream(vcf_path):
+                    if chrom != cur:
+                        while q:  # flush the finished chromosome's tail
+                            yield _fmt(cur, *q.popleft())
+                        if chrom in seen:
+                            raise ValueError(
+                                f"{vcf_path} is not coordinate-sorted: "
+                                f"chromosome {chrom} appears twice")
+                        seen.add(chrom)
+                        cur, last_pos = chrom, -1
+                        q = pending.pop(chrom, deque())
+                    if var.pos < last_pos:
+                        raise ValueError(
+                            f"{vcf_path} is not coordinate-sorted at "
+                            f"{chrom}:{var.pos}")
+                    last_pos = var.pos
+                    while q and q[0][0] < var.pos:
+                        yield _fmt(chrom, *q.popleft())
+                    if q and q[0][0] == var.pos:
+                        yield _fmt(chrom, *q.popleft())  # new record wins
+                        continue
                     a0, a1 = var.alleles
                     alts = sorted({a for a in (a0, a1) if a != var.ref})
                     gt0 = 0 if a0 == var.ref else alts.index(a0) + 1
                     gt1 = 0 if a1 == var.ref else alts.index(a1) + 1
-                    records.append(
-                        (chrom, pos, var.ref, ",".join(alts), f"{gt0}|{gt1}")
-                    )
-        for _, row in variant_df.iterrows():
-            records.append(
-                (row["chrom"], int(row["pos"]), row["ref"], row["alt"], row["GT"])
-            )
-        df = pd.DataFrame(records, columns=["chrom", "pos", "ref", "alt", "gt"])
-        df = df.drop_duplicates(subset=["chrom", "pos"], keep="last")
-        df = df.sort_values(["chrom", "pos"])
+                    yield _fmt(chrom, var.pos, var.ref, ",".join(alts),
+                               f"{gt0}|{gt1}")
+                while q:
+                    yield _fmt(cur, *q.popleft())
+            for chrom in sorted(pending):  # chroms absent from the donor VCF
+                for rec in pending[chrom]:
+                    yield _fmt(chrom, *rec)
 
-        lines = [
-            "##fileformat=VCFv4.2",
-            f"##reference={self.sources.fasta_path}",
-        ]
-        for chrom in sorted(df["chrom"].unique()):
-            lines.append(f"##contig=<ID={chrom}>")
-        lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
-        lines.append(
-            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample_name
-        )
-        for row in df.itertuples(index=False):
-            lines.append(
-                f"{row.chrom}\t{row.pos}\t.\t{row.ref}\t{row.alt}\t.\tPASS\t.\tGT\t{row.gt}"
-            )
         final = output_path if output_path.endswith(".vcf.gz") else output_path + ".vcf.gz"
         Path(final).parent.mkdir(parents=True, exist_ok=True)
-        write_bgzf(final, ("\n".join(lines) + "\n").encode())
+        write_bgzf_lines(final, merged_lines())
         from variantformer_tpu.utils.tabix import write_tbi
 
         write_tbi(final)
-        log.info("Wrote VCF %s (%d records) + .tbi", final, len(df))
+        log.info("Wrote VCF %s + .tbi (streamed merge)", final)
         return final
 
     # -- query validation ---------------------------------------------------

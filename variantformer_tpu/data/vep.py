@@ -28,6 +28,7 @@ import pandas as pd
 from variantformer_tpu.config import DatasetConfig
 from variantformer_tpu.data.pipeline import GeneSample, GeneSampleBuilder
 from variantformer_tpu.utils.constants import MAP_REF_CRE_TO_IDX
+from variantformer_tpu.utils.intervals import GeneIntervalIndex
 from variantformer_tpu.utils.retry import multi_try_load_npz, multi_try_load_pickle
 from variantformer_tpu.utils.sequence import (
     het_iupac_code,
@@ -327,22 +328,17 @@ class VepSampleBuilder:
 
 
 def get_probable_genes(
-    gencode: pd.DataFrame, variant: Variant, window_size: int = 1_000_000
+    gencode: pd.DataFrame,
+    variant: Variant,
+    window_size: int = 1_000_000,
+    index: "GeneIntervalIndex | None" = None,
 ) -> list[dict]:
     """Genes whose body +-window contains the variant (reference
-    multi_datasets_loader.py:58-92)."""
-    chrom_genes = gencode[gencode["chromosome"] == variant.chrom]
-    out = []
-    for _, gene in chrom_genes.iterrows():
-        if gene["start"] - window_size < variant.pos < gene["end"] + window_size:
-            out.append(
-                {
-                    "gene_id": gene["gene_id"],
-                    "start": gene["start"],
-                    "end": gene["end"],
-                    "gene_name": gene.get("gene_name", ""),
-                    "strand": gene["strand"],
-                    "chromosome": gene["chromosome"],
-                }
-            )
-    return out
+    multi_datasets_loader.py:58-92).
+
+    Pass a prebuilt ``GeneIntervalIndex`` when calling per-variant in a
+    loop — lookups are then O(log n + hits) instead of an O(genes) scan.
+    """
+    if index is None:
+        index = GeneIntervalIndex(gencode, window_size)
+    return index.query(variant.chrom, variant.pos)

@@ -95,11 +95,17 @@ struct Encoder {
     for (int32_t r = 0; r < n; ++r) {
       max_id = std::max({max_id, left[r], right[r], result[r]});
     }
-    std::vector<int32_t> produced_at(max_id + 1, -1);  // id -> first producing rank
-    for (int32_t r = 0; r < n; ++r) {
-      if (produced_at[result[r]] < 0) produced_at[result[r]] = r;
-    }
+    std::vector<int32_t> produced_at(max_id + 1, -1);  // id -> producing rank
     monotone = true;
+    for (int32_t r = 0; r < n; ++r) {
+      // Two merges producing the SAME id break the bucket-queue assumption:
+      // a pair created by the later producer could map into an already
+      // drained rank bucket and silently never merge. Trained vocabularies
+      // never do this, but force the (semantically identical) heap fallback
+      // if one does.
+      if (produced_at[result[r]] >= 0) monotone = false;
+      produced_at[result[r]] = r;
+    }
     for (int32_t r = 0; r < n && monotone; ++r) {
       // -1 = base symbol (single char, never a merge result)
       if (produced_at[left[r]] >= r || produced_at[right[r]] >= r) {

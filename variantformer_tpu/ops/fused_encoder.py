@@ -450,16 +450,17 @@ def fused_window_encoder_dual(
 #
 #   * The forward (save_inputs=True) checkpoints every layer's INPUT block to
 #     HBM — the minimal residual set; everything else is recomputed in-kernel.
-#   * Backward grid = (layer_reversed, window_block): the layer axis is
-#     OUTER so each layer's weight-gradient accumulators live in the revisited
-#     output VMEM blocks across the whole window sweep (init at the sweep's
-#     first block, += after), flushed once per layer.
-#   * The dx chain rides an input/output-ALIASED HBM buffer: sweep i reads
-#     dx_{l+1}[wb] and overwrites it with dx_l[wb]. Safe because the write of
-#     (i-1, wb) happens a full sweep before the prefetch of (i, wb) — the
-#     driver pads N to >= 2 window blocks so the pipeline can never prefetch
-#     past the previous sweep's unflushed write.
-#   * Pooling backward seeds dx at the first step of the l = L-1 sweep.
+#   * The backward runs ONE pallas_call per layer, in reverse layer order
+#     (see _run_layer_bwd): each call's grid sweeps the window blocks for
+#     that layer, with the layer's weight-gradient accumulators living in
+#     revisited output VMEM blocks across the sweep (init at the sweep's
+#     first block, += after) and flushed once at the end. The dx chain is a
+#     plain array threaded between consecutive pallas_calls — no buffer
+#     aliasing is relied upon. (A fused (layer_reversed, window_block) grid
+#     with dx riding an input/output-aliased HBM buffer was considered and
+#     rejected: interpreter mode does not honor cross-sweep aliasing, so the
+#     fused grid could not be CI-tested on the CPU mesh.)
+#   * Pooling backward seeds dx before the l = L-1 call.
 #
 # Gradient zero-flow invariants (checked in tests): pad windows (tok_len 0)
 # and pad token rows receive exactly zero gradient — masked keys give p=0,

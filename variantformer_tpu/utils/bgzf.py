@@ -45,6 +45,25 @@ def write_bgzf(path: str, data: bytes, block_size: int = 65280):
         fh.write(_EOF_BLOCK)
 
 
+def write_bgzf_lines(path: str, lines, block_size: int = 65280):
+    """Write an iterable of lines (str or bytes, no trailing newline) as a
+    BGZF file without materializing the payload — O(block_size) memory, so
+    multi-million-record VCF merges can stream straight to disk."""
+    buf = bytearray()
+    with open(path, "wb") as fh:
+        for line in lines:
+            if isinstance(line, str):
+                line = line.encode()
+            buf += line
+            buf += b"\n"
+            while len(buf) >= block_size:
+                fh.write(_compress_block(bytes(buf[:block_size])))
+                del buf[:block_size]
+        if buf:
+            fh.write(_compress_block(bytes(buf)))
+        fh.write(_EOF_BLOCK)
+
+
 def is_bgzf(path: str) -> bool:
     with open(path, "rb") as fh:
         head = fh.read(18)

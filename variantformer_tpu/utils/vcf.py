@@ -211,6 +211,39 @@ class VCFReader:
         return variants[lo:hi]
 
 
+class VCFStream:
+    """Single-pass streaming VCF reader: iterate (chrom, VcfVariant) tuples
+    in file order WITHOUT materializing the file (the non-indexed VCFReader
+    loads everything into per-chrom dicts — prohibitive for multi-million-
+    record donor VCFs). Records that project to hom-ref or are unparseable
+    are skipped, exactly like VCFReader._parse."""
+
+    def __init__(self, path: str, sample: str | None = None):
+        self.path = path
+        self.sample_names: list[str] = []
+        self._sample = sample
+        self._reader = VCFReader.__new__(VCFReader)  # reuse _lines machinery
+        self._reader.path = path
+
+    def __iter__(self):
+        sample_idx = None
+        for raw in self._reader._lines():
+            if not raw or raw.startswith(b"##"):
+                continue
+            if raw.startswith(b"#CHROM"):
+                header = raw.decode().split("\t")
+                self.sample_names = header[9:]
+                if self._sample is not None:
+                    sample_idx = 9 + self.sample_names.index(self._sample)
+                else:
+                    sample_idx = 9 if len(header) > 9 else None
+                continue
+            fields = raw.decode().split("\t")
+            var = VCFReader._parse_record(fields, sample_idx)
+            if var is not None:
+                yield fields[0], var
+
+
 class ConsensusEngine:
     """Applies diploid genotypes to reference slices as IUPAC consensus.
 
