@@ -13,6 +13,7 @@ verify the JAX implementation against the reference's own forward code.
 
 from __future__ import annotations
 
+import contextlib
 import math
 import sys
 import types
@@ -40,6 +41,28 @@ def _alibi_slopes(n: int) -> torch.Tensor:
     return torch.tensor(
         pow2(closest) + _alibi_slopes(2 * closest)[0::2][: n - closest].tolist()
     )
+
+
+# When True, every _StubMHA call simulates the reference's GPU numerics:
+# flash-attn always runs in fp16 when the module is fp32
+# (/root/reference/seq2gene/modules/layers.py:103,363 — ``flash_dtype =
+# torch.float16 if precision == torch.float32 else precision``), so inputs,
+# projection weights, and outputs are quantized to fp16 around an fp32
+# softmax accumulation (what the CUDA kernel does internally). Toggle via
+# the fp16_attention() context manager; default stays fp32 (ORACLE_AUDIT §5).
+FP16_ATTENTION = False
+
+
+@contextlib.contextmanager
+def fp16_attention():
+    """Run the oracle with fp16-quantized attention (H100-gold numerics)."""
+    global FP16_ATTENTION
+    prev = FP16_ATTENTION
+    FP16_ATTENTION = True
+    try:
+        yield
+    finally:
+        FP16_ATTENTION = prev
 
 
 class _StubMHA(nn.Module):
@@ -80,12 +103,21 @@ class _StubMHA(nn.Module):
         cu = cu.tolist()
         return list(zip(cu[:-1], cu[1:]))
 
+    def _lin(self, layer, t):
+        """Apply a projection, quantizing weights+input to fp16 in fp16 mode
+        (non-destructive: the module's fp32 master weights are untouched)."""
+        if not FP16_ATTENTION:
+            return layer(t)
+        return F.linear(t.half(), layer.weight.half(),
+                        layer.bias.half() if layer.bias is not None else None)
+
     def forward(self, x, x_kv=None, cu_seqlens=None, max_seqlen=None,
                 cu_seqlens_k=None, max_seqlen_k=None, **kwargs):
+        orig_dtype = x.dtype
         if self.cross_attn:
             assert x_kv is not None
-            q = self.Wq(x).view(*x.shape[:-1], self.num_heads, self.head_dim)
-            kv = self.Wkv(x_kv).view(*x_kv.shape[:-1], 2, self.num_heads, self.head_dim)
+            q = self._lin(self.Wq, x).view(*x.shape[:-1], self.num_heads, self.head_dim)
+            kv = self._lin(self.Wkv, x_kv).view(*x_kv.shape[:-1], 2, self.num_heads, self.head_dim)
             k, v = kv.unbind(dim=-3)
             if cu_seqlens is not None:
                 # unpadded [total, ...]
@@ -99,7 +131,7 @@ class _StubMHA(nn.Module):
                 outs = [self._attend(q[b], k[b], v[b]) for b in range(x.shape[0])]
                 out = torch.stack(outs, dim=0)
         else:
-            qkv = self.Wqkv(x).view(*x.shape[:-1], 3, self.num_heads, self.head_dim)
+            qkv = self._lin(self.Wqkv, x).view(*x.shape[:-1], 3, self.num_heads, self.head_dim)
             q, k, v = qkv.unbind(dim=-3)
             if cu_seqlens is not None:
                 outs = []
@@ -109,7 +141,8 @@ class _StubMHA(nn.Module):
             else:
                 outs = [self._attend(q[b], k[b], v[b]) for b in range(x.shape[0])]
                 out = torch.stack(outs, dim=0)
-        return self.out_proj(out.reshape(*out.shape[:-2], self.embed_dim))
+        out = self._lin(self.out_proj, out.reshape(*out.shape[:-2], self.embed_dim))
+        return out.to(orig_dtype)
 
 
 def _unpad_input(hidden_states, attention_mask):

@@ -105,3 +105,48 @@ def test_stub_right_alignment_gap_is_real():
 
     assert torch.equal(flash_bias(7, 7), stub_bias(7, 7))
     assert not torch.equal(flash_bias(4, 9), stub_bias(4, 9))
+
+
+def test_fp16_attention_gap_bounded():
+    """ORACLE_AUDIT §5's last unverified limb, checked without a GPU: run the
+    oracle with fp16-quantized attention (simulating layers.py:103,363 —
+    flash-attn always runs fp16 on GPU, so the H100 gold parquets carry fp16
+    noise) and bound that drift against the repo's bf16 compute path.
+
+    Invariants locked here:
+      * the fp16 mode actually engages (nonzero drift vs the fp32 oracle),
+      * fp16-attention noise on predictions is small (rel-L2 <= 2e-3 — the
+        scale the gold tolerances atol=1e-3..0.1 are built to absorb),
+      * the repo's bf16 path deviates from the fp16-attn oracle (i.e. from
+        H100-gold numerics) by no more than bf16's own quantization scale
+        (rel-L2 <= 2e-2), so bf16-vs-gold disagreement beyond that signals a
+        real defect, not precision noise.
+    """
+    from tests.test_reference_parity import _full_model_setup
+    from variantformer_tpu.models.seq2gene import seq2gene_forward
+
+    run_reference, params, batch, make_cfg = _full_model_setup()
+
+    ref32 = run_reference()
+    with reference_oracle.fp16_attention():
+        ref16 = run_reference()
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
+
+    drift_fp16 = {k: rel(ref16[k], ref32[k]) for k in ref32}
+    assert all(v > 0 for v in drift_fp16.values()), drift_fp16  # mode engaged
+    assert drift_fp16["pred"] <= 2e-3, drift_fp16
+    assert drift_fp16["embd"] <= 2e-3, drift_fp16
+
+    out = seq2gene_forward(params, batch, make_cfg("bfloat16"))
+    drift_bf16 = {
+        "pred": rel(out.pred_expression, ref16["pred"]),
+        "embd": rel(out.pooled_embedding, ref16["embd"]),
+        "gene_tok": rel(out.gene_token_embedding, ref16["gene_tok"]),
+        "cre_tok": rel(out.cre_token_embedding, ref16["cre_tok"]),
+    }
+    assert all(v <= 2e-2 for v in drift_bf16.values()), drift_bf16
+    print(f"fp16-attn oracle drift (rel-L2): {drift_fp16}")
+    print(f"repo bf16 vs fp16-attn oracle (rel-L2): {drift_bf16}")

@@ -172,8 +172,12 @@ def test_window_encoder_parity(use_context):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
-def test_full_model_parity():
-    """End-to-end: reference Seq2GenePredictorCombinedModulator vs our forward."""
+def _full_model_setup():
+    """Shared construct for full-model oracle comparisons: returns
+    (run_reference, params, batch, make_cfg) where run_reference() executes
+    the reference model under the CURRENT oracle mode (fp32 or
+    reference_oracle.fp16_attention()) and make_cfg(dtype) builds our
+    ModelConfig at the given compute dtype."""
     from seq2gene.model_combined_modulator import Seq2GenePredictorCombinedModulator
 
     vocab, token_e, e, heads, layers, length = 40, 32, 48, 4, 3, 12
@@ -211,31 +215,37 @@ def test_full_model_parity():
     strand = torch.zeros(d, 1, dtype=torch.long)
     cre_pos = torch.tensor([1, 0])
     gene_pos = torch.tensor([0, 1])
-
-    with torch.no_grad():
-        pred, donors, embd, gene_tok_emb, cre_tok_emb = model(
-            inp, att, tiss, labels, strand, gene_inp, gene_att,
-            return_embedding=True,
-            cre_token_position=cre_pos, gene_token_position=gene_pos,
-        )
     t = len(tissue_list)
-    ref_pred = pred.numpy().reshape(d, t)
-    ref_embd = embd.numpy().reshape(d, t, e)
-    ref_gene_tok = gene_tok_emb.numpy().reshape(d, t, e)
-    ref_cre_tok = cre_tok_emb.numpy().reshape(d, t, e)
+
+    def run_reference():
+        with torch.no_grad():
+            pred, donors, embd, gene_tok_emb, cre_tok_emb = model(
+                inp, att, tiss, labels, strand, gene_inp, gene_att,
+                return_embedding=True,
+                cre_token_position=cre_pos, gene_token_position=gene_pos,
+            )
+        return {
+            "pred": pred.numpy().reshape(d, t),
+            "embd": embd.numpy().reshape(d, t, e),
+            "gene_tok": gene_tok_emb.numpy().reshape(d, t, e),
+            "cre_tok": cre_tok_emb.numpy().reshape(d, t, e),
+        }
 
     # --- our side, through the production converter ---
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     params = jax.tree.map(jnp.asarray, convert.convert_seq2gene(sd, num_heads=heads, encoder_num_heads=4))
-    cfg = ModelConfig(
-        window_encoder=_wcfg(vocab=vocab, e=token_e, heads=4, layers=2),
-        seq2gene=Seq2GeneConfig(
-            emb_dim=e, gene_emb_dim=token_e, token_dim=token_e, num_heads=heads,
-            num_layers=layers, num_tissues=tissues_all, only_cross_attention=False,
-            multi_head=True,
-        ),
-        precision=PrecisionPolicy(compute_dtype="float32"),
-    )
+
+    def make_cfg(compute_dtype="float32"):
+        return ModelConfig(
+            window_encoder=_wcfg(vocab=vocab, e=token_e, heads=4, layers=2),
+            seq2gene=Seq2GeneConfig(
+                emb_dim=e, gene_emb_dim=token_e, token_dim=token_e, num_heads=heads,
+                num_layers=layers, num_tissues=tissues_all, only_cross_attention=False,
+                multi_head=True,
+            ),
+            precision=PrecisionPolicy(compute_dtype=compute_dtype),
+        )
+
     c_max, g_max = max(c_counts), max(g_counts)
 
     def pack(seqs, masks, counts, width):
@@ -264,12 +274,19 @@ def test_full_model_parity():
         cre_token_position=jnp.asarray(cre_pos.numpy(), jnp.int32),
         gene_token_position=jnp.asarray(gene_pos.numpy(), jnp.int32),
     )
-    out = seq2gene_forward(params, batch, cfg)
+    return run_reference, params, batch, make_cfg
 
-    np.testing.assert_allclose(np.asarray(out.pooled_embedding), ref_embd, rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.pred_expression), ref_pred, rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.gene_token_embedding), ref_gene_tok, rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.cre_token_embedding), ref_cre_tok, rtol=1e-3, atol=1e-4)
+
+def test_full_model_parity():
+    """End-to-end: reference Seq2GenePredictorCombinedModulator vs our forward."""
+    run_reference, params, batch, make_cfg = _full_model_setup()
+    ref = run_reference()
+    out = seq2gene_forward(params, batch, make_cfg("float32"))
+
+    np.testing.assert_allclose(np.asarray(out.pooled_embedding), ref["embd"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.pred_expression), ref["pred"], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.gene_token_embedding), ref["gene_tok"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.cre_token_embedding), ref["cre_tok"], rtol=1e-3, atol=1e-4)
 
 
 def test_window_classifier_parity():
