@@ -113,3 +113,47 @@ def test_fused_modulator_length_edges():
             np.asarray(ref, np.float32)[:, :gene_len],
             rtol=3e-2, atol=3e-2,
         )
+
+
+def test_fused_modulator_donor_batched_matches_per_donor():
+    """The donor-folded grid must reproduce per-donor single calls exactly
+    (same kernel math, donors only share streamed weights)."""
+    layers, gene, cre, slopes = _setup(seed=3)
+    d = 3
+    rng = np.random.default_rng(7)
+    gene_d = jnp.asarray(rng.normal(size=(d, T, G1, E)) * 0.5, jnp.float32)
+    cre_d = jnp.asarray(rng.normal(size=(L, d, C, E)) * 0.5, jnp.float32)
+    gene_lens = jnp.asarray([G1, 5, 7], jnp.int32)
+    cre_lens = jnp.asarray([C, 11, 18], jnp.int32)
+    batched = fused_gene_modulator(
+        gene_d, cre_d, gene_lens, cre_lens, layers, slopes,
+        D ** -0.5, H, D, tissue_block=2,
+    )
+    assert batched.shape == (d, T, G1, E)
+    for di in range(d):
+        single = fused_gene_modulator(
+            gene_d[di], cre_d[:, di], gene_lens[di], cre_lens[di], layers,
+            slopes, D ** -0.5, H, D, tissue_block=2,
+        )
+        gl = int(gene_lens[di])
+        np.testing.assert_allclose(
+            np.asarray(batched[di, :, :gl], np.float32),
+            np.asarray(single[:, :gl], np.float32),
+            rtol=1e-6, atol=1e-6, err_msg=f"donor {di}",
+        )
+    # donor_block chunking path: force chunks of 2 over 3 donors
+    from variantformer_tpu.ops.fused_modulator import (
+        fused_gene_modulator_packed,
+        pack_gene_layers,
+    )
+
+    packed = pack_gene_layers(layers, H, D)
+    chunked = fused_gene_modulator_packed(
+        gene_d, cre_d, gene_lens, cre_lens, packed, slopes,
+        layers["ffn_in"]["w"].shape[-1], D ** -0.5, H, D,
+        tissue_block=2, donor_block=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked, np.float32), np.asarray(batched, np.float32),
+        rtol=0, atol=0,
+    )

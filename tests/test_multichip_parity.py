@@ -474,11 +474,12 @@ def test_use_mesh_keeps_fused_kernels_donor_partition(tmp_path):
         rtol=5e-4, atol=5e-4,
     )
 
-    # tissue re-mesh downgrades to XLA; donor re-mesh restores fused2
+    # tissue re-mesh keeps the fused kernels too (round-4: the shard_map
+    # tissue-DP program); donor re-mesh and reset stay fused2
     m = pmesh.make_mesh(devices=jax.devices()[:8])
     proc.use_mesh(m, partition="tissue")
-    assert proc.impl == "xla"
-    assert "gene_layers_packed" not in proc._params
+    assert proc.impl == "fused2" and proc._mesh_fused
+    assert "gene_layers_packed" in proc._params
     proc.use_mesh(m, partition="donor")
     assert proc.impl == "fused2"
     assert "gene_layers_packed" in proc._params
@@ -602,3 +603,84 @@ def test_fit_loop_with_donor_dp_fused_step():
     for a, b in zip(single.history, dp.history):
         np.testing.assert_allclose(b["train_loss"], a["train_loss"], rtol=1e-3)
     assert dp.history[-1]["train_loss"] < dp.history[0]["train_loss"]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_tissue_dp_fused_forward_matches_single_device():
+    """Tissue-DP via shard_map keeps the fused Pallas kernels intact per
+    device: the WINDOW axes shard across all 8 devices for the encoder
+    (embeddings all-gathered), and each device runs the fused modulator on
+    its TISSUE shard. Single-donor genome-sweep layout (d=1, wide tissue
+    list). Contract: match the single-device fused2 forward."""
+    from variantformer_tpu.ops.fused_modulator import pack_gene_layers
+
+    cfg = _near_real_cfg()
+    mcfg = cfg.seq2gene
+    params = init_seq2gene(jax.random.key(0), cfg)
+    params["gene_layers_packed"] = pack_gene_layers(
+        params["gene_layers"], mcfg.num_heads, mcfg.emb_dim // mcfg.num_heads
+    )
+    # window axes divisible by 8 after pad_tissue_axis; tissue list NOT a
+    # multiple of 8 to exercise the padding path
+    batch = _example_batch(d=1, c=16, g=8, length=12, t=6, vocab=64)
+
+    single = seq2gene_forward(params, batch, cfg, impl="fused2")
+
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    repl = pmesh.replicate_params(params, m)
+    padded, t0 = pmesh.pad_tissue_axis(batch, m, multiple=m.devices.size)
+    assert padded.tissue_ids.shape[0] == 8 and t0 == 6
+    b = pmesh.shard_batch_tissue_all(padded, m)
+    out = pmesh.tissue_dp_forward(cfg, m, b, impl="fused2")(repl, b)
+    out = type(out)(*(leaf[:, :t0] for leaf in out))
+
+    for name in single._fields:
+        tol = dict(rtol=5e-4, atol=5e-4) if name == "pred_expression" else dict(
+            rtol=1e-2, atol=5e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(single, name)),
+            err_msg=name, **tol,
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_use_mesh_keeps_fused_kernels_tissue_partition(tmp_path):
+    """VCFProcessor.use_mesh(partition='tissue') with a fused impl must KEEP
+    the fused kernels (round-3 downgraded every tissue-meshed forward to
+    layered XLA at ~40% of the fused rate) and produce the unmeshed
+    predictions."""
+    sys.path.insert(0, str(REPO / "examples"))
+    import dataclasses
+
+    from _common import synthetic_env
+
+    from variantformer_tpu.api.vcfprocessor import VCFProcessor
+
+    import pandas as pd
+
+    sources, cfg, extras = synthetic_env(str(tmp_path / "env"))
+    cfg = dataclasses.replace(
+        cfg, precision=PrecisionPolicy(compute_dtype="float32")
+    )
+
+    def run(meshed):
+        proc = VCFProcessor(sources=sources, config=cfg, impl="fused2")
+        proc.set_params(init_seq2gene(jax.random.key(0), cfg))
+        if meshed:
+            proc.use_mesh(pmesh.make_mesh(devices=jax.devices()[:8]),
+                          partition="tissue")
+            assert proc._mesh_fused and proc.impl == "fused2", (
+                "tissue mesh must keep the fused kernels")
+        tissues = ",".join(list(proc.tissue_vocab)[:3])  # odd T -> padding
+        q = pd.DataFrame({"gene_id": ["GENE1.1"], "tissues": [tissues]})
+        return proc.predict(extras["vcf"], q, batch_size=1)
+
+    base = run(meshed=False)
+    meshed = run(meshed=True)
+    np.testing.assert_allclose(
+        np.stack(meshed["predicted_expression"].to_numpy()),
+        np.stack(base["predicted_expression"].to_numpy()),
+        rtol=5e-4, atol=5e-4,
+    )

@@ -342,12 +342,13 @@ class VCFProcessor:
         count does not divide the device count are suffix-padded in _forward
         and the pad rows sliced off.
 
-        partition="tissue": single-donor scale-out — the per-tissue gene
-        fan-out and the window axes shard over "data" under GSPMD (tissue
-        list padded/sliced in _forward); use when batches are donor-thin
-        (one donor, genome-wide sweep) but the tissue list is wide. GSPMD
-        cannot partition a pallas_call, so this path (and any explicitly
-        impl="xla" processor) runs layered XLA with head/FFN tensor
+        partition="tissue": single-donor scale-out — use when batches are
+        donor-thin (one donor, genome-wide sweep) but the tissue list is
+        wide. With a fused impl the Pallas kernels SURVIVE this mesh too
+        (parallel/mesh.tissue_dp_forward): window axes shard across chips
+        for the encoder, embeddings all-gather (~3.6 MB), and each chip runs
+        the intact fused modulator on its tissue shard. An explicitly
+        impl="xla" processor instead runs layered XLA with head/FFN tensor
         parallelism over the "model" axis (parallel/mesh.py)."""
         from variantformer_tpu.parallel.mesh import (
             make_mesh,
@@ -368,8 +369,13 @@ class VCFProcessor:
             # Re-meshing (e.g. tissue -> donor): decide from the ORIGINAL
             # impl, not whatever the previous partition downgraded it to.
             self.impl = self._impl_before_mesh
+        wcfg = self.config.window_encoder
+        tissue_fusable = (
+            partition == "donor"
+            or (not wcfg.use_context and wcfg.seq_pool == "mean")
+        )  # the tissue-DP body needs the dual fused-encoder path
         self._mesh_fused = (
-            partition == "donor" and self.impl in ("fused", "fused2")
+            self.impl in ("fused", "fused2") and tissue_fusable
         )
         if self._mesh_fused:
             self._ensure_packed()  # repack if a prior tissue-mesh popped it
@@ -397,6 +403,7 @@ class VCFProcessor:
                 pad_tissue_axis,
                 shard_batch,
                 shard_batch_donor_all,
+                shard_batch_tissue_all,
             )
 
             partition = getattr(self, "_mesh_partition", "donor")
@@ -419,12 +426,18 @@ class VCFProcessor:
                     }
                 )
             elif partition == "tissue":
-                batch, _ = pad_tissue_axis(batch, mesh)
-            batch = (
-                shard_batch_donor_all(batch, mesh)
-                if mesh_fused
-                else shard_batch(batch, mesh, partition)
-            )
+                # fused tissue-DP shards windows+tissues over ALL devices
+                batch, _ = pad_tissue_axis(
+                    batch, mesh, multiple=data if mesh_fused else None
+                )
+            if mesh_fused:
+                batch = (
+                    shard_batch_donor_all(batch, mesh)
+                    if partition == "donor"
+                    else shard_batch_tissue_all(batch, mesh)
+                )
+            else:
+                batch = shard_batch(batch, mesh, partition)
         key = (
             batch.cre_tokens.shape,
             batch.gene_tokens.shape,
@@ -434,11 +447,17 @@ class VCFProcessor:
             cfg = self.config
             impl = self.impl
             if mesh is not None and mesh_fused:
-                from variantformer_tpu.parallel.mesh import donor_dp_forward
-
-                self._fwd_cache[key] = donor_dp_forward(
-                    cfg, mesh, batch, impl=impl
+                from variantformer_tpu.parallel.mesh import (
+                    donor_dp_forward,
+                    tissue_dp_forward,
                 )
+
+                fwd = (
+                    donor_dp_forward
+                    if getattr(self, "_mesh_partition", "donor") == "donor"
+                    else tissue_dp_forward
+                )
+                self._fwd_cache[key] = fwd(cfg, mesh, batch, impl=impl)
             else:
                 self._fwd_cache[key] = jax.jit(
                     lambda p, b: seq2gene_forward(p, b, cfg, impl=impl)

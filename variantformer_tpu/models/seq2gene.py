@@ -135,8 +135,18 @@ def seq2gene_forward(
     batch: Seq2GeneBatch,
     cfg: ModelConfig,
     impl: str = "xla",
+    window_gather_axes: tuple | None = None,
 ) -> Seq2GeneOutput:
-    """End-to-end jittable forward: tokens -> per-(donor, tissue) expression."""
+    """End-to-end jittable forward: tokens -> per-(donor, tissue) expression.
+
+    ``window_gather_axes``: set ONLY inside a shard_map body (the fused
+    tissue-DP program, parallel/mesh.tissue_dp_forward). The batch's CRE and
+    gene WINDOW axes then carry this device's shard; after the window
+    encoder runs on the local slice, the embeddings are all-gathered over
+    the named axes so the (tissue-sharded) gene stack sees the full window
+    set. Window-count fields (cre_count/gene_count/cre_labels/positions)
+    must be GLOBAL in that layout.
+    """
     mcfg = cfg.seq2gene
     wcfg = cfg.window_encoder
     compute_dtype = jnp.dtype(cfg.precision.compute_dtype)
@@ -209,6 +219,32 @@ def seq2gene_forward(
             wcfg, enc_spec, compute_dtype,
         ).reshape(d, g, -1)
 
+    if window_gather_axes is not None:
+        # Fused tissue-DP: each device encoded a window shard; rebuild the
+        # full window axes (tiny collective: ~3.6 MB at full geometry).
+        # Only the dual fused-encoder path is window-shard-safe: the plain
+        # path feeds per-window cre_labels into the encoder, and labels stay
+        # GLOBAL in this layout.
+        if not (
+            enc_spec.impl == "fused"
+            and not wcfg.use_context
+            and wcfg.seq_pool == "mean"
+            and l == lg
+        ):
+            raise ValueError(
+                "window_gather_axes requires the dual fused encoder path "
+                "(impl='fused'/'fused2', no context, mean pool, equal "
+                "token lengths)"
+            )
+        cre_emb = jax.lax.all_gather(
+            cre_emb, window_gather_axes, axis=1, tiled=True
+        )
+        gene_emb = jax.lax.all_gather(
+            gene_emb, window_gather_axes, axis=1, tiled=True
+        )
+        c = cre_emb.shape[1]
+        g = gene_emb.shape[1]
+
     # === 2. Map to modulator width ===
     cre = core.linear(params["cre_map"], cre_emb, compute_dtype)    # [D, C, E]
     gene = core.linear(params["gene_map"], gene_emb, compute_dtype) # [D, G, E]
@@ -260,17 +296,14 @@ def seq2gene_forward(
                 params["gene_layers"], mod_spec.num_heads, mod_spec.head_dim
             )
         ffn = params["gene_layers"]["ffn_in"]["w"].shape[-1]
-        gene_stream = jnp.stack(
-            [
-                fused_gene_modulator_packed(
-                    gene_stream[di], cre_intermediates[:, di],
-                    gene_len[di], batch.cre_count[di],
-                    packed, slopes, ffn, mod_spec.scale,
-                    mod_spec.num_heads, mod_spec.head_dim,
-                    tissue_block=pick_tissue_block(t),
-                )
-                for di in range(d)
-            ]
+        # One kernel for the whole donor batch (donor axis rides the grid:
+        # weights stream once per tissue-block sweep for ALL donors).
+        gene_stream = fused_gene_modulator_packed(
+            gene_stream, cre_intermediates,
+            gene_len, batch.cre_count,
+            packed, slopes, ffn, mod_spec.scale,
+            mod_spec.num_heads, mod_spec.head_dim,
+            tissue_block=pick_tissue_block(t),
         ).astype(compute_dtype)
     else:
         gene_res = gene_stream if mcfg.use_res else None

@@ -4,11 +4,14 @@ The 25-layer gene stack is ~45% of the vcf2exp forward. Like the fused
 window encoder, its activations can persist in VMEM across layers while
 per-layer weights (and the layer's cross-attention K/V) stream through:
 
-  * grid = (tissue-block, layer*2): the inner axis is sequential and steps
-    through two phases per layer. Each phase's matrix weights are packed
-    into ONE slab operand indexed by the grid step, so only ~one phase's
-    weights (plus the pipelined next slab) are resident in VMEM at a time.
-    This is what makes the full-size model fit in 128 MB of VMEM.
+  * grid = (tissue-block, layer*2, donor): the layer axis is sequential and
+    steps through two phases per layer; the DONOR axis is innermost so one
+    phase's weight slab serves the whole donor batch before the next slab
+    streams in — at d donors this divides the modulator's weight DMA by d
+    versus per-donor launches. Each phase's matrix weights are packed into
+    ONE slab operand indexed by the grid step, so only ~one phase's weights
+    (plus the pipelined next slab) are resident in VMEM at a time. This is
+    what makes the full-size model fit in 128 MB of VMEM.
       phase 0: LN1 + fused QKV proj + batched self-attention + self out-proj
                (+residual) + LN2 + cross-Q + cross-attention
       phase 1: cross out-proj (+residual) + LN3 + GeGLU FFN (+res_long)
@@ -65,18 +68,24 @@ def pick_tissue_block(t: int) -> int:
 
 
 def _kernel(
-    lens_ref,      # [2] int32 scalar prefetch: (gene_len, cre_len)
+    lens_ref,      # [DB, 2] int32 scalar prefetch: (gene_len, cre_len)/donor
     slopes_ref,    # [H] f32 scalar prefetch: ALiBi slopes
-    x_ref,         # [TB, G1P, E]
-    ckv_ref,       # [1, CP, 2*H*D] layer's cross K|V (precomputed in XLA)
+    x_ref,         # [1, TB, G1P, E] this donor's tissue block
+    ckv_ref,       # [1, 1, CP, 2*H*D] donor+layer cross K|V (XLA precompute)
     slab_ref,      # [1, E, SLAB] phase-packed matrix weights
     bias_ref,      # [1, 1, BIAS] phase-packed biases
     norm_ref,      # [1, 1, 4E] phase's pre-LN scale|bias pairs (2 norms max)
-    out_ref,       # [TB, G1P, E]
-    x_state,       # [TB, G1P, E] bf16 scratch: layer input (res_long)
-    h_state,       # [TB, G1P, E] bf16 scratch: intra-layer stream
-    attn_scratch,  # [TB*G1P, H*D] bf16 scratch
+    dist_ref,      # [G1P, G1P] f32 |i-j| ALiBi distances (hoisted, loaded once)
+    out_ref,       # [1, TB, G1P, E]
+    x_state,       # [DB, TB, G1P, E] bf16 scratch: layer input (res_long)
+    h_state,       # [DB, TB, G1P, E] bf16 scratch: intra-layer stream
+    attn_scratch,  # [DB, TB*G1P, H*D] bf16 scratch (donor-indexed: the
+                   #   cross-attn output crosses the phase boundary, i.e.
+                   #   the interleaved donor steps, so it must not be shared)
     qkv_scratch,   # [TB*G1P, 3*H*D] bf16 scratch: staged projections
+                   #   (written and consumed within one phase-0 step)
+    score_scratch,   # [TB, G1P, G1P] f32: per-head self-attn scores (reused)
+    cscore_scratch,  # [TB*G1P, CP] f32: per-head cross-attn scores (reused)
     *,
     num_layers: int,
     num_heads: int,
@@ -86,19 +95,26 @@ def _kernel(
     scale: float,
     ffn_dim: int,
 ):
+    # Grid = (tissue_block, layer*2, donor): the DONOR axis is innermost so
+    # one (tissue-block, phase) weight slab serves every donor before the
+    # next slab streams in — weights cross HBM once per tissue-block sweep
+    # for the WHOLE donor batch instead of once per donor (at d=4 this cuts
+    # the modulator's weight DMA 4x). Per-donor gene streams persist in the
+    # donor-indexed VMEM scratches across the layer sweep.
     step = pl.program_id(1)
+    did = pl.program_id(2)
     phase = step % 2
     e = x_ref.shape[-1]
     lane = head_dim
     hp = num_heads * lane
     rows = tissue_block * g1p
-    cp = ckv_ref.shape[1]
-    gene_len = lens_ref[0]
-    cre_len = lens_ref[1]
+    cp = ckv_ref.shape[2]
+    gene_len = lens_ref[did, 0]
+    cre_len = lens_ref[did, 1]
 
     @pl.when(step == 0)
     def _load():
-        x_state[...] = x_ref[...].astype(jnp.bfloat16)
+        x_state[did] = x_ref[0].astype(jnp.bfloat16)
 
     def layer_norm(x, which):
         s = norm_ref[0, 0, 2 * e * which : 2 * e * which + e].astype(jnp.float32)
@@ -136,7 +152,7 @@ def _kernel(
 
     @pl.when(phase == 0)
     def _attention():
-        x = x_state[...]
+        x = x_state[did]
         h1 = layer_norm(x, 0).reshape(rows, e)
         # One fused [rows, E] @ [E, 3*HP] projection, staged in VMEM scratch:
         # keeping q/k/v as SSA values across the 32-head unroll costs ~60 MB
@@ -146,10 +162,11 @@ def _kernel(
         # batched (batch dim = tissue) [TB, G1P, G1P] dot_general rather than
         # one [rows, rows] matmul with a block-diagonal mask — TBx fewer
         # score/PV FLOPs and a [G1P, G1P] mask instead of [rows, rows].
-        i2 = jax.lax.broadcasted_iota(jnp.int32, (g1p, g1p), 0)
+        # |i-j| comes from the hoisted dist operand (loaded once, not rebuilt
+        # from two iotas every phase-0 step).
         j2 = jax.lax.broadcasted_iota(jnp.int32, (g1p, g1p), 1)
         valid = j2 < gene_len
-        dist = jnp.abs(i2 - j2).astype(jnp.float32)
+        dist = dist_ref[...]
         for h in range(num_heads):
             c0 = h * lane
             qh = qkv_scratch[:, c0 : c0 + lane].reshape(tissue_block, g1p, lane)
@@ -159,12 +176,16 @@ def _kernel(
             vh = qkv_scratch[:, 2 * hp + c0 : 2 * hp + c0 + lane].reshape(
                 tissue_block, g1p, lane
             )
-            s = jax.lax.dot_general(
+            # Scores round-trip through ONE reused f32 VMEM scratch: without
+            # it the register allocator keeps every unrolled head's
+            # [TB, G1P, G1P] buffer live at once (~1 MB x num_heads of spill
+            # slots — measured 34.5 MB at full geometry).
+            bias = jnp.where(valid, -slopes_ref[h] * dist, MASK_VALUE)
+            score_scratch[...] = jax.lax.dot_general(
                 qh, kh, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ) * scale
-            bias = jnp.where(valid, -slopes_ref[h] * dist, MASK_VALUE)
-            s = s + bias[None]
+            ) * scale + bias[None]
+            s = score_scratch[...]
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -172,12 +193,12 @@ def _kernel(
                 p.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            attn_scratch[:, c0 : c0 + lane] = o.reshape(rows, lane).astype(
+            attn_scratch[did, :, c0 : c0 + lane] = o.reshape(rows, lane).astype(
                 jnp.bfloat16
             )
-        sa = out_proj(attn_scratch[...], 3 * hp, 3 * hp)
-        h = sa + x_state[...]
-        h_state[...] = h
+        sa = out_proj(attn_scratch[did], 3 * hp, 3 * hp)
+        h = sa + x_state[did]
+        h_state[did] = h
         # cross-Q at slab col 4*HP; its bias after b_out, at 3*HP + E.
         h2n = layer_norm(h, 1).reshape(rows, e)
         qkv_scratch[:, 0:hp] = proj(h2n, 4 * hp, hp, bias_col0=3 * hp + e)
@@ -186,13 +207,13 @@ def _kernel(
         for h in range(num_heads):
             c0 = h * lane
             qh = qkv_scratch[:, c0 : c0 + lane]
-            kh = ckv_ref[0, :, c0 : c0 + lane]
-            vh = ckv_ref[0, :, hp + c0 : hp + c0 + lane]
-            s = jax.lax.dot_general(
+            kh = ckv_ref[0, 0, :, c0 : c0 + lane]
+            vh = ckv_ref[0, 0, :, hp + c0 : hp + c0 + lane]
+            cscore_scratch[...] = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
-            s = s + cbias
+            ) * scale + cbias
+            s = cscore_scratch[...]
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -200,12 +221,12 @@ def _kernel(
                 p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            attn_scratch[:, c0 : c0 + lane] = o.astype(jnp.bfloat16)
+            attn_scratch[did, :, c0 : c0 + lane] = o.astype(jnp.bfloat16)
 
     @pl.when(phase == 1)
     def _cross_out_and_ffn():
-        ca = out_proj(attn_scratch[...], 0, 0)
-        h2 = ca + h_state[...]
+        ca = out_proj(attn_scratch[did], 0, 0)
+        h2 = ca + h_state[did]
         g = layer_norm(h2, 0).reshape(rows, e)
         # GeGLU in at slab col HP; its bias at bias col E (after b_co).
         f = proj(g, hp, ffn_dim, bias_col0=e)
@@ -219,11 +240,11 @@ def _kernel(
         o = (matmul_t(f, wt).astype(jnp.bfloat16) + b).reshape(
             tissue_block, g1p, e
         )
-        x_state[...] = o + x_state[...]
+        x_state[did] = o + x_state[did]
 
     @pl.when(step == 2 * num_layers - 1)
     def _store():
-        out_ref[...] = x_state[...]
+        out_ref[0] = x_state[did]
 
 
 def _roundup(n, m):
@@ -335,13 +356,16 @@ def pack_gene_layers(layers: dict, num_heads: int, head_dim: int) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ffn", "num_heads", "head_dim", "scale", "tissue_block")
+    jax.jit,
+    static_argnames=(
+        "ffn", "num_heads", "head_dim", "scale", "tissue_block", "donor_block"
+    ),
 )
 def fused_gene_modulator_packed(
-    gene_stream: jax.Array,        # [T, G1, E] registry + gene tokens (one donor)
-    cre_intermediates: jax.Array,  # [num_layers, C, E]
-    gene_len: jax.Array,           # scalar int32 valid gene rows (incl registry)
-    cre_len: jax.Array,            # scalar int32 valid CRE windows
+    gene_stream: jax.Array,        # [D, T, G1, E] (or [T, G1, E]: one donor)
+    cre_intermediates: jax.Array,  # [num_layers, D, C, E] (or [num_layers, C, E])
+    gene_len: jax.Array,           # [D] int32 valid gene rows (incl registry)
+    cre_len: jax.Array,            # [D] int32 valid CRE windows
     packed: dict,                  # output of pack_gene_layers
     slopes: jax.Array | None,      # [H] ALiBi slopes or None
     ffn: int,                      # GeGLU input width (pre-split)
@@ -349,10 +373,24 @@ def fused_gene_modulator_packed(
     num_heads: int,
     head_dim: int,
     tissue_block: int = 6,
+    donor_block: int = 4,
 ) -> jax.Array:
-    """Returns the final gene stream [T, G1, E] (bf16)."""
-    t, g1, e = gene_stream.shape
-    num_layers, c, _ = cre_intermediates.shape
+    """Returns the final gene stream [D, T, G1, E] (bf16; [T, G1, E] when
+    called with single-donor inputs).
+
+    The whole donor batch runs in ONE kernel with the donor axis innermost
+    in the grid (see _kernel): weights stream once per tissue-block sweep
+    for all donors. Donor batches larger than ``donor_block`` are processed
+    in chunks so the donor-indexed VMEM scratches stay bounded.
+    """
+    single = gene_stream.ndim == 3
+    if single:
+        gene_stream = gene_stream[None]
+        cre_intermediates = cre_intermediates[:, None]
+        gene_len = jnp.reshape(gene_len, (1,))
+        cre_len = jnp.reshape(cre_len, (1,))
+    d, t, g1, e = gene_stream.shape
+    num_layers, _, c, _ = cre_intermediates.shape
     hp = num_heads * head_dim
     slab, biases, norms = packed["slab"], packed["biases"], packed["norms"]
     slab_cols = slab.shape[-1]
@@ -362,63 +400,100 @@ def fused_gene_modulator_packed(
     g1p = _roundup(g1, 16)
     tp = _roundup(t, tissue_block)
     cp = _roundup(c, 128)
-    x = jnp.zeros((tp, g1p, e), jnp.bfloat16)
-    x = x.at[:t, :g1].set(gene_stream.astype(jnp.bfloat16))
-    # Per-layer cross K/V from the donor-shared CRE intermediates, computed
-    # once in XLA (0.12 TF at full size) instead of once per tissue block in
-    # the kernel (round 1 cost ~1.1 TF ≈ 11 ms).
+    x = jnp.zeros((d, tp, g1p, e), jnp.bfloat16)
+    x = x.at[:, :t, :g1].set(gene_stream.astype(jnp.bfloat16))
+    # Per-(layer, donor) cross K/V from the donor-shared CRE intermediates,
+    # computed once in XLA (0.12 TF/donor at full size) instead of once per
+    # tissue block in the kernel (round 1 cost ~1.1 TF ≈ 11 ms).
+    # XLA:CPU (the interpreter-mode test rig) cannot execute a batched
+    # bf16 x bf16 -> f32 dot; feed it f32 operands there.
+    op_dt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     ckv = jnp.einsum(
-        "lce,lef->lcf",
-        cre_intermediates.astype(jnp.bfloat16),
-        packed["ckv_w"],
+        "ldce,lef->dlcf",
+        cre_intermediates.astype(op_dt),
+        packed["ckv_w"].astype(op_dt),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16) + packed["ckv_b"][:, None, :]
-    ckv_p = jnp.zeros((num_layers, cp, 2 * hp), jnp.bfloat16)
-    ckv_p = ckv_p.at[:, :c].set(ckv)
+    ).astype(jnp.bfloat16) + packed["ckv_b"][None, :, None, :]
+    ckv_p = jnp.zeros((d, num_layers, cp, 2 * hp), jnp.bfloat16)
+    ckv_p = ckv_p.at[:, :, :c].set(ckv)
 
-    kernel = functools.partial(
-        _kernel,
-        num_layers=num_layers,
-        num_heads=num_heads,
-        head_dim=head_dim,
-        tissue_block=tissue_block,
-        g1p=g1p,
-        scale=scale,
-        ffn_dim=ffn,
-    )
-    lens = jnp.stack([gene_len, cre_len]).astype(jnp.int32)
+    lens = jnp.stack(
+        [gene_len.astype(jnp.int32), cre_len.astype(jnp.int32)], axis=-1
+    )  # [D, 2]
     if slopes is None:
         slopes = jnp.zeros((num_heads,), jnp.float32)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(tp // tissue_block, num_layers * 2),
-            in_specs=[
-                pl.BlockSpec((tissue_block, g1p, e), lambda tb, s, *_: (tb, 0, 0)),
-                pl.BlockSpec((1, cp, 2 * hp), lambda tb, s, *_: (s // 2, 0, 0)),
-                pl.BlockSpec((1, e, slab_cols), lambda tb, s, *_: (s, 0, 0)),
-                pl.BlockSpec((1, 1, bias_cols), lambda tb, s, *_: (s, 0, 0)),
-                pl.BlockSpec((1, 1, 4 * e), lambda tb, s, *_: (s, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec(
-                (tissue_block, g1p, e), lambda tb, s, *_: (tb, 0, 0)
+    dist = jnp.abs(
+        jax.lax.broadcasted_iota(jnp.int32, (g1p, g1p), 0)
+        - jax.lax.broadcasted_iota(jnp.int32, (g1p, g1p), 1)
+    ).astype(jnp.float32)
+
+    def run(x_d, ckv_d, lens_d):
+        db = x_d.shape[0]
+        kernel = functools.partial(
+            _kernel,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            head_dim=head_dim,
+            tissue_block=tissue_block,
+            g1p=g1p,
+            scale=scale,
+            ffn_dim=ffn,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(tp // tissue_block, num_layers * 2, db),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, tissue_block, g1p, e),
+                        lambda tb, s, dd, *_: (dd, tb, 0, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, cp, 2 * hp),
+                        lambda tb, s, dd, *_: (dd, s // 2, 0, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, e, slab_cols), lambda tb, s, dd, *_: (s, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, bias_cols), lambda tb, s, dd, *_: (s, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, 4 * e), lambda tb, s, dd, *_: (s, 0, 0)
+                    ),
+                    pl.BlockSpec((g1p, g1p), lambda tb, s, dd, *_: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, tissue_block, g1p, e),
+                    lambda tb, s, dd, *_: (dd, tb, 0, 0),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((db, tissue_block, g1p, e), jnp.bfloat16),
+                    pltpu.VMEM((db, tissue_block, g1p, e), jnp.bfloat16),
+                    pltpu.VMEM((db, tissue_block * g1p, hp), jnp.bfloat16),
+                    pltpu.VMEM((tissue_block * g1p, 3 * hp), jnp.bfloat16),
+                    pltpu.VMEM((tissue_block, g1p, g1p), jnp.float32),
+                    pltpu.VMEM((tissue_block * g1p, cp), jnp.float32),
+                ],
             ),
-            scratch_shapes=[
-                pltpu.VMEM((tissue_block, g1p, e), jnp.bfloat16),
-                pltpu.VMEM((tissue_block, g1p, e), jnp.bfloat16),
-                pltpu.VMEM((tissue_block * g1p, hp), jnp.bfloat16),
-                pltpu.VMEM((tissue_block * g1p, 3 * hp), jnp.bfloat16),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((tp, g1p, e), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=127 * 2**20,
-        ),
-        interpret=(jax.default_backend() == "cpu"),
-    )(lens, slopes.astype(jnp.float32), x, ckv_p, slab, biases, norms)
-    return out[:t, :g1]
+            out_shape=jax.ShapeDtypeStruct((db, tp, g1p, e), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=127 * 2**20,
+            ),
+            interpret=(jax.default_backend() == "cpu"),
+        )(lens_d, slopes.astype(jnp.float32), x_d, ckv_d, slab, biases,
+          norms, dist)
+
+    outs = [
+        run(x[d0 : d0 + donor_block], ckv_p[d0 : d0 + donor_block],
+            lens[d0 : d0 + donor_block])
+        for d0 in range(0, d, donor_block)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    out = out[:, :t, :g1]
+    return out[0] if single else out
 
 
 @functools.partial(

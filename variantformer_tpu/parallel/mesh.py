@@ -153,20 +153,23 @@ _UNEVEN_WARNED: set = set()
 
 
 def pad_tissue_axis(
-    batch: Seq2GeneBatch, mesh: Mesh
+    batch: Seq2GeneBatch, mesh: Mesh, multiple: int | None = None
 ) -> tuple[Seq2GeneBatch, int]:
-    """Pad every "tissue"-partition axis to a multiple of the "data" axis so
-    ``shard_batch(partition="tissue")`` shards it evenly rather than falling
-    back to replication: ``tissue_ids`` (repeating the last id) AND the CRE/
-    gene window axes (zero windows — the same suffix-pad-beyond-count
-    contract ``pack_samples`` already establishes; ``cre_count``/
-    ``gene_count`` keep masking them out). Returns the padded batch and the
-    ORIGINAL tissue count — slice model outputs back to ``[:, :t]``; window
-    padding never changes output shapes."""
+    """Pad every "tissue"-partition axis to a multiple of the "data" axis
+    (or an explicit ``multiple`` — the fused tissue-DP path shards over ALL
+    mesh axes jointly, so it passes the full device count) so
+    ``shard_batch(partition="tissue")`` / ``shard_batch_tissue_all`` shard
+    evenly rather than falling back to replication: ``tissue_ids``
+    (repeating the last id) AND the CRE/gene window axes (zero windows — the
+    same suffix-pad-beyond-count contract ``pack_samples`` already
+    establishes; ``cre_count``/``gene_count`` keep masking them out).
+    Returns the padded batch and the ORIGINAL tissue count — slice model
+    outputs back to ``[:, :t]``; window padding never changes output
+    shapes."""
     import jax.numpy as jnp
 
     t = batch.tissue_ids.shape[0]
-    data = mesh.shape["data"]
+    data = multiple if multiple is not None else mesh.shape["data"]
     pad_t = (-t) % data
     repl = {}
     if pad_t:
@@ -330,6 +333,95 @@ def donor_dp_forward(cfg, mesh: Mesh, batch: Seq2GeneBatch, impl: str = "fused2"
         # the body holds pallas_calls whose varying-manual-axes inference
         # is unsupported; replication is structurally guaranteed here
         # (params replicated, outputs all donor-leading)
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+# -- tissue-DP with the fused Pallas kernels ---------------------------------
+#
+# Single-donor scale-out (genome-wide sweeps: one donor, a wide tissue list).
+# Tissues never interact in the gene stack, and the window encoder is
+# embarrassingly parallel over WINDOWS — so the fused kernels survive this
+# mesh too:
+#   * the CRE/gene WINDOW axes shard over all mesh axes jointly; each chip
+#     runs the intact fused window encoder on its window shard, then
+#     all-gathers the embeddings (~3.6 MB at full geometry),
+#   * the TISSUE axis shards over all mesh axes jointly; each chip runs the
+#     intact fused gene modulator on its tissue shard (CRE stack replicates —
+#     ~3% of FLOPs),
+#   * outputs are tissue-leading shards, reassembled by shard_map.
+# Per-chip work at N devices ≈ (encoder + modulator)/N + CRE stack, vs the
+# GSPMD fallback's layered-XLA rate (~40% of fused MFU).
+
+
+def tissue_dp_batch_specs(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
+    """Window axes + tissue axis split over ALL mesh axes jointly; counts,
+    labels, and token positions replicate (they index GLOBAL window axes).
+    Pad first with ``pad_tissue_axis(batch, mesh, multiple=n_devices)``."""
+    axes = tuple(mesh.axis_names)
+
+    def spec(name, leaf):
+        if leaf is None:
+            return None
+        if name == "tissue_ids":
+            return P(axes)
+        if name in ("cre_tokens", "gene_tokens"):
+            return P(None, axes, None)
+        if name in ("cre_tok_len", "gene_tok_len"):
+            return P(None, axes)
+        return P(*([None] * leaf.ndim))
+
+    return Seq2GeneBatch(
+        **{name: spec(name, getattr(batch, name)) for name in batch._fields}
+    )
+
+
+def shard_batch_tissue_all(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
+    specs = tissue_dp_batch_specs(batch, mesh)
+    return Seq2GeneBatch(
+        **{
+            name: (
+                None
+                if getattr(batch, name) is None
+                else jax.device_put(
+                    getattr(batch, name), NamedSharding(mesh, getattr(specs, name))
+                )
+            )
+            for name in batch._fields
+        }
+    )
+
+
+def tissue_dp_forward(cfg, mesh: Mesh, batch: Seq2GeneBatch, impl: str = "fused2"):
+    """jitted shard_map forward keeping the fused kernels under a TISSUE
+    partition (see module comment above). ``batch`` supplies the STRUCTURE;
+    reuse the callable for same-structure batches whose tissue and window
+    axes divide the device count (``pad_tissue_axis(..., multiple=n)``)."""
+    from variantformer_tpu.models.seq2gene import Seq2GeneOutput, seq2gene_forward
+
+    axes = tuple(mesh.axis_names)
+    specs = tissue_dp_batch_specs(batch, mesh)
+
+    def fwd(params, b):
+        return seq2gene_forward(
+            params, b, cfg, impl=impl, window_gather_axes=axes
+        )
+
+    out_specs = Seq2GeneOutput(
+        pred_expression=P(None, axes),
+        pooled_embedding=P(None, axes, None),
+        gene_token_embedding=P(None, axes, None),
+        cre_token_embedding=P(None, axes, None),
+    )
+    sm = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), specs),
+        out_specs=out_specs,
+        # pallas_call varying-manual-axes inference is unsupported; the
+        # layout is structurally correct (params replicated, windows/tissues
+        # sharded, explicit all_gather inside)
         check_vma=False,
     )
     return jax.jit(sm)

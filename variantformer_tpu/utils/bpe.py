@@ -28,6 +28,7 @@ from variantformer_tpu.utils.constants import IUPAC_CODES, SPECIAL_TOKENS
 
 _IUPAC_SET = frozenset(IUPAC_CODES)
 _NON_IUPAC_RE = re.compile("[^" + "".join(sorted(_IUPAC_SET)) + "]+")
+_IUPAC_RUN_RE = re.compile("[" + "".join(sorted(_IUPAC_SET)) + "]+")
 
 
 class BPETokenizer:
@@ -152,6 +153,38 @@ class BPETokenizer:
             return np.zeros(0, np.int32)
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
+    def encode_with_offsets(
+        self, sequence: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Encode one raw sequence, returning (ids, starts, ends) where the
+        offsets are RAW-sequence coordinates (non-IUPAC runs leave gaps in
+        the offset ranges; they never produce tokens). The token covering a
+        raw position p is the unique index with starts[i] <= p < ends[i]."""
+        seq = sequence.upper()
+        ids_parts: list[np.ndarray] = []
+        st_parts: list[np.ndarray] = []
+        en_parts: list[np.ndarray] = []
+        for m in _IUPAC_RUN_RE.finditer(seq):
+            sub = m.group(0)
+            if self._native is not None:
+                ids, st, en = self._native.encode_word_ids_offsets(sub)
+            else:
+                py_ids, offs = self._encode_word_py(sub)
+                ids = np.asarray(py_ids, np.int32)
+                st = np.asarray([s for s, _ in offs], np.int32)
+                en = np.asarray([e for _, e in offs], np.int32)
+            ids_parts.append(ids)
+            st_parts.append(st + m.start())
+            en_parts.append(en + m.start())
+        if not ids_parts:
+            z = np.zeros(0, np.int32)
+            return z, z.copy(), z.copy()
+        return (
+            np.concatenate(ids_parts),
+            np.concatenate(st_parts),
+            np.concatenate(en_parts),
+        )
+
     def encode_ids_batch(self, sequences: list[str]) -> list[np.ndarray]:
         """Encode many raw sequences with ONE native call (one GIL
         release/reacquire instead of one per word): the sample builders
@@ -245,6 +278,83 @@ class BPETokenizer:
         result["encoded_ids"] = all_ids
         result["all_tokens"] = all_tokens
         return result
+
+
+def splice_encode(
+    tok: BPETokenizer,
+    seq: str,
+    ids: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    pos: int,
+    repl: str,
+    margin: int = 2048,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Token stream of ``seq[:pos] + repl + seq[pos+1:]`` computed
+    incrementally from the already-encoded reference stream.
+
+    Only a window of ~2*margin chars around the edit is re-tokenized; the
+    rest of the reference ids are reused. Exactness is enforced by two
+    checks, escalating the margin (and finally falling back to a full
+    re-encode) when either fails:
+
+      * sync check — standalone-encoding the REFERENCE window must reproduce
+        the in-context token slice exactly (the cut points are then BPE
+        synchronization points),
+      * containment check — the EDITED window's boundary tokens must match
+        the reference window's (the edit did not propagate to the cut).
+
+    N-split boundaries need no special casing: windows are cut at token
+    boundaries of the reference encoding and encode_ids re-applies the same
+    normalization, so interior non-IUPAC runs split identically.
+
+    Returns (new_ids, win_token_start, win_ids, win_starts, win_ends): the
+    full spliced id array, the global token index where the re-encoded
+    window begins, and the window's ids with ABSOLUTE raw-coordinate offsets
+    in the edited sequence — enough to locate the token covering the edit
+    without another encode.
+    """
+    n = len(seq)
+    if len(ids) == 0:
+        full = seq[:pos] + repl + seq[pos + 1:]
+        out, st, en = tok.encode_with_offsets(full)
+        return out, 0, out, st, en
+    while True:
+        a_char = max(0, pos - margin)
+        b_char = min(n, pos + 1 + margin)
+        ta = int(np.searchsorted(ends, a_char, side="right"))
+        tb = int(np.searchsorted(starts, b_char, side="left")) - 1
+        ta = min(max(ta, 0), len(ids) - 1)
+        tb = min(max(tb, ta), len(ids) - 1)
+        a, b = int(starts[ta]), int(ends[tb])
+        exhausted = ta == 0 and tb == len(ids) - 1
+        ref_win = seq[a:b]
+        rw_ids = tok.encode_ids(ref_win)
+        if not np.array_equal(rw_ids, ids[ta:tb + 1]):
+            if exhausted:
+                break
+            margin *= 4
+            continue
+        edit_win = seq[a:pos] + repl + seq[pos + 1:b]
+        ew_ids, ew_starts, ew_ends = tok.encode_with_offsets(edit_win)
+        k = 2  # boundary tokens that must re-synchronize
+        head_ok = ta == 0 or (
+            len(ew_ids) >= k and np.array_equal(ew_ids[:k], rw_ids[:k])
+        )
+        tail_ok = tb == len(ids) - 1 or (
+            len(ew_ids) >= k and np.array_equal(ew_ids[-k:], rw_ids[-k:])
+        )
+        if not (head_ok and tail_ok):
+            if exhausted:
+                break
+            margin *= 4
+            continue
+        out = np.concatenate([ids[:ta], ew_ids, ids[tb + 1:]])
+        return out, ta, ew_ids, ew_starts + a, ew_ends + a
+    # full fallback (pathological propagation): always exact
+    full = seq[:pos] + repl + seq[pos + 1:]
+    out, st, en = tok.encode_with_offsets(full)
+    return out, 0, out, st, en
 
 
 def train_bpe(

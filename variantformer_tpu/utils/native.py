@@ -216,6 +216,24 @@ class NativeBPE:
             raise ValueError(f"native BPE encode failed (code {count})")
         return out_ids[:count]
 
+    def encode_word_ids_offsets(
+        self, word: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like encode_word but array-only: (ids, starts, ends) int32."""
+        n = len(word)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return z, z.copy(), z.copy()
+        out_ids = np.empty(n, np.int32)
+        out_starts = np.empty(n, np.int32)
+        out_ends = np.empty(n, np.int32)
+        count = self._lib.vfx_bpe_encode(
+            self._handle, word.encode("ascii"), n, out_ids, out_starts, out_ends, n
+        )
+        if count < 0:
+            raise ValueError(f"native BPE encode failed (code {count})")
+        return out_ids[:count], out_starts[:count], out_ends[:count]
+
     def encode_words_ids(
         self, words: list[str]
     ) -> tuple[np.ndarray, np.ndarray]:
