@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--cres", type=int, default=64)
     ap.add_argument("--genes", type=int, default=50)
     ap.add_argument("--tissues", type=int, default=12)
+    ap.add_argument(
+        "--variants", default="",
+        help="comma list to run (default: all); e.g. fused2_frozen",
+    )
     args = ap.parse_args()
 
     from variantformer_tpu.utils.jax_setup import enable_cache
@@ -88,12 +92,20 @@ def main():
     mask = jnp.ones((args.donors, args.tissues), bool)
 
     results = {}
+    wanted = set(filter(None, args.variants.split(",")))
     for name, impl, freeze in (
         ("xla_trainable", "xla", False),
         ("xla_frozen", "xla", True),
         ("fused_frozen", "fused", True),
         ("fused_trainable", "fused", False),
+        # fused2: the gene stack ALSO runs fused, forward via the modulator
+        # kernel and backward via its recompute Pallas VJP
+        # (ops/fused_modulator).
+        ("fused2_frozen", "fused2", True),
+        ("fused2_trainable", "fused2", False),
     ):
+        if wanted and name not in wanted:
+            continue
         tx = make_optimizer(params, train_gene_tokenizer=not freeze)
         step = make_seq2gene_train_step(
             cfg, tx, impl=impl, freeze_tokenizers=freeze,
@@ -118,17 +130,17 @@ def main():
             flush=True,
         )
 
-    base = results["xla_trainable"]
-    print(json.dumps({
+    out = {
         "geometry": f"E=512/H=8/L=4 T={args.tissues} D={args.donors} "
                     f"C={args.cres} G={args.genes}",
         "step_ms": results,
-        "frozen_speedup": round(base / results["xla_frozen"], 3),
-        "fused_frozen_speedup": round(base / results["fused_frozen"], 3),
-        "fused_trainable_speedup": round(
-            base / results["fused_trainable"], 3
-        ),
-    }))
+    }
+    if "xla_trainable" in results:
+        base = results["xla_trainable"]
+        for name, ms in results.items():
+            if name != "xla_trainable":
+                out[f"{name}_speedup"] = round(base / ms, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -490,6 +490,9 @@ def test_pick_tissue_block_respects_vmem_cap():
     from variantformer_tpu.ops.fused_modulator import pick_tissue_block
 
     assert pick_tissue_block(54) == 6
+    assert pick_tissue_block(54, d=4) == 4  # donor-folded grid: TB=6 OOMs
+    assert pick_tissue_block(54, d=2) == 4
+    assert pick_tissue_block(3, d=4) == 3
     assert pick_tissue_block(45) == 6   # 45 % 9 == 0, but 9 is banned
     assert pick_tissue_block(8) == 8
     assert pick_tissue_block(7) == 7
@@ -716,7 +719,7 @@ def test_freeze_tokenizers_step_matches_and_runs_fused():
     )
 
     with pytest.raises(ValueError, match="training impl"):
-        make_seq2gene_train_step(cfg, None, impl="fused2")
+        make_seq2gene_train_step(cfg, None, impl="pallas3")
 
 
 @pytest.mark.slow

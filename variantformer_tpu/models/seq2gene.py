@@ -283,28 +283,46 @@ def seq2gene_forward(
     # === 5. Gene stack scanning over (gene layer, CRE intermediate) pairs ===
     if fused_gene_stack:
         from variantformer_tpu.ops.fused_modulator import (
+            fused_gene_modulator_diff,
             fused_gene_modulator_packed,
-            pack_gene_layers,
             pick_tissue_block,
         )
 
-        # Use load-time packed weights when the caller provides them
-        # (VCFProcessor.set_params); otherwise pack inline (per call).
+        import os
+
+        # Perf-tuning overrides (trace-time; used by scripts/*_probe.py to
+        # A/B block plans inside the FULL model, where XLA scheduling around
+        # the kernel differs from standalone kernel timing).
+        tb_pick = int(os.environ.get("VFX_MOD_TB", "0")) or pick_tissue_block(
+            t, d
+        )
+        db_pick = int(os.environ.get("VFX_MOD_DB", "0")) or 4
         packed = params.get("gene_layers_packed")
-        if packed is None:
-            packed = pack_gene_layers(
-                params["gene_layers"], mod_spec.num_heads, mod_spec.head_dim
-            )
-        ffn = params["gene_layers"]["ffn_in"]["w"].shape[-1]
-        # One kernel for the whole donor batch (donor axis rides the grid:
-        # weights stream once per tissue-block sweep for ALL donors).
-        gene_stream = fused_gene_modulator_packed(
-            gene_stream, cre_intermediates,
-            gene_len, batch.cre_count,
-            packed, slopes, ffn, mod_spec.scale,
-            mod_spec.num_heads, mod_spec.head_dim,
-            tissue_block=pick_tissue_block(t),
-        ).astype(compute_dtype)
+        if packed is not None:
+            # Inference fast path: load-time packed weights
+            # (VCFProcessor.set_params). One kernel for the whole donor
+            # batch (donor axis rides the grid: weights stream once per
+            # tissue-block sweep for ALL donors).
+            ffn = params["gene_layers"]["ffn_in"]["w"].shape[-1]
+            gene_stream = fused_gene_modulator_packed(
+                gene_stream, cre_intermediates,
+                gene_len, batch.cre_count,
+                packed, slopes, ffn, mod_spec.scale,
+                mod_spec.num_heads, mod_spec.head_dim,
+                tissue_block=tb_pick, donor_block=db_pick,
+            ).astype(compute_dtype)
+        else:
+            # Differentiable path (packs inline): the primal is the same
+            # inference-tuned kernel; under jax.grad the forward checkpoints
+            # per-layer x/h streams and the recompute Pallas backward
+            # produces gene-stream/CRE/weight grads (ops/fused_modulator).
+            gene_stream = fused_gene_modulator_diff(
+                gene_stream, cre_intermediates,
+                gene_len, batch.cre_count,
+                params["gene_layers"], slopes, mod_spec.scale,
+                mod_spec.num_heads, mod_spec.head_dim,
+                tb_pick,
+            ).astype(compute_dtype)
     else:
         gene_res = gene_stream if mcfg.use_res else None
 

@@ -448,7 +448,8 @@ def donor_dp_train_step(
     gradient, so losses and updated params match ``make_seq2gene_train_step``
     bit-for-reassociation. ``batch`` supplies the field STRUCTURE (reuse the
     step for any same-structure batch whose donor dim divides the device
-    count); ``impl`` may be "fused" (VJP-backed) or "xla".
+    count); ``impl`` may be "xla", "fused" (encoder VJP) or "fused2"
+    (encoder + gene-modulator VJPs).
     """
     import optax
 
@@ -522,13 +523,22 @@ def donor_dp_value_and_grad(
     from variantformer_tpu.models.seq2gene import seq2gene_forward
     from variantformer_tpu.train import losses as L
 
-    if impl not in ("xla", "fused"):
-        raise ValueError(f"training impl must be 'xla' or 'fused', got {impl!r}")
+    if impl not in ("xla", "fused", "fused2"):
+        raise ValueError(
+            f"training impl must be 'xla', 'fused' or 'fused2', got {impl!r}"
+        )
     axes = tuple(mesh.axis_names)
     specs = donor_dp_batch_specs(batch, mesh)
     tspec = P(axes)
 
     def local_sum_loss(params, b, targets, mask):
+        if impl == "fused2" and "gene_layers_packed" in params:
+            # Packed weights would shadow gene_layers on the forward and
+            # receive the gradient instead; training params must carry the
+            # raw tree only (the diff path packs inline).
+            raise ValueError(
+                "fused2 training params must not contain 'gene_layers_packed'"
+            )
         if freeze_tokenizers:
             params = dict(params)
             params["cre_tokenizer"] = jax.lax.stop_gradient(

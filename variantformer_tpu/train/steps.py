@@ -9,9 +9,10 @@ steps reconstruct the training semantics as pure functions:
     dual contrastive loss (reference seq2reg/model.py:304-353).
 
 Gradients flow through the XLA attention path by default; the fused window
-encoder additionally has a recompute Pallas backward (its custom VJP,
-ops/fused_encoder.py), so ``impl="fused"`` is legal with trainable
-tokenizers. The fused gene modulator remains inference-only (no VJP).
+encoder (ops/fused_encoder.py) and the fused gene modulator
+(ops/fused_modulator.py) both carry recompute Pallas backwards via custom
+VJPs, so ``impl="fused"`` (fused encoder only) and ``impl="fused2"`` (fused
+encoder + fused gene stack) are both legal in training steps.
 """
 
 from __future__ import annotations
@@ -48,6 +49,12 @@ def seq2gene_loss_fn(
     gradient lets XLA dead-code-eliminate that backward; with
     ``impl="fused"`` the DCE also prunes the fused encoder's checkpointing
     forward back down to the inference kernel."""
+    if impl == "fused2" and "gene_layers_packed" in params:
+        # Packed weights would shadow gene_layers on the forward and receive
+        # the gradient instead; training params carry the raw tree only.
+        raise ValueError(
+            "fused2 training params must not contain 'gene_layers_packed'"
+        )
     if stop_cre_grads or stop_gene_grads:
         params = dict(params)
         if stop_cre_grads:
@@ -90,10 +97,10 @@ def make_seq2gene_train_step(
     Pallas backward, ops/fused_encoder.py) carries the gradients, and with
     frozen tokenizers XLA DCEs the backward away entirely."""
     assert plateau in ("step", "epoch")
-    if impl not in ("xla", "fused"):
-        # fused2 would route the gene stack (whose params ARE trainable)
-        # through the VJP-less fused modulator
-        raise ValueError(f"training impl must be 'xla' or 'fused', got {impl!r}")
+    if impl not in ("xla", "fused", "fused2"):
+        raise ValueError(
+            f"training impl must be 'xla', 'fused' or 'fused2', got {impl!r}"
+        )
 
     @jax.jit
     def step(state: TrainState, batch, targets, target_mask, plateau_value=None):
