@@ -92,6 +92,11 @@ def main():
         title="Gene-tissue embeddings (2D projection)",
     )
     print(f"interactive scatter: {page}")
+
+    from variantformer_tpu.api.webapp import vcf2embed_app
+
+    app = vcf2embed_app(df, "/tmp/vcf2embed_app.html")
+    print(f"reactive embedding explorer: {app}")
     return df
 
 

@@ -33,6 +33,13 @@ def main():
     for _, row in out.iterrows():
         for name, value in zip(row["tissue_names"], row["predicted_expression"]):
             print(f"  {row['gene_id']:16s} {name:24s} {value:.4f}")
+
+    # Reactive single-file explorer (the marimo-app equivalent): gene
+    # selector + anatomagram + sortable tissue table, all client-side.
+    from variantformer_tpu.api.webapp import vcf2exp_app
+
+    app = vcf2exp_app(out, "/tmp/vcf2exp_app.html")
+    print(f"\ninteractive explorer: {app}")
     return out
 
 

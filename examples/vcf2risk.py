@@ -44,6 +44,11 @@ def main():
         out = ad(extras["vcf"], ["GENE1.1"], [0])
         print("[synthetic mode: demo GBT predictor]")
     print(out[["gene_id", "tissue_name", "ad_risk"]].to_string())
+
+    from variantformer_tpu.api.webapp import vcf2risk_app
+
+    app = vcf2risk_app(out, "/tmp/vcf2risk_app.html")
+    print(f"interactive risk explorer: {app}")
     return out
 
 
