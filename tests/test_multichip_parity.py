@@ -44,6 +44,7 @@ from __graft_entry__ import near_real_cfg as _near_real_cfg  # noqa: E402
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.slow  # covered by the driver's dryrun_multichip gate
 def test_sharded_forward_matches_single_device():
     cfg = _near_real_cfg()
     params = init_seq2gene(jax.random.key(0), cfg)
@@ -66,6 +67,7 @@ def test_sharded_forward_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.slow  # covered by the driver's dryrun_multichip gate
 def test_sharded_train_step_matches_single_device():
     """DP+TP TRAINING parity: two optimizer steps on the 2x4 mesh must
     reproduce the single-device trajectory (loss and updated params) — the
@@ -298,6 +300,7 @@ def test_use_mesh_sweep_matches_single_device(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.slow  # covered by the driver's dryrun_multichip gate
 def test_donor_dp_fused_forward_matches_single_device():
     """Donor-DP via shard_map keeps the fused Pallas kernels intact per
     device (interpreter mode on the CPU mesh): donors split over ALL 8
@@ -606,6 +609,7 @@ def test_fit_loop_with_donor_dp_fused_step():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.slow  # covered by the driver's dryrun_multichip gate
 def test_tissue_dp_fused_forward_matches_single_device():
     """Tissue-DP via shard_map keeps the fused Pallas kernels intact per
     device: the WINDOW axes shard across all 8 devices for the encoder

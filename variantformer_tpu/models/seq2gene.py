@@ -292,11 +292,16 @@ def seq2gene_forward(
 
         # Perf-tuning overrides (trace-time; used by scripts/*_probe.py to
         # A/B block plans inside the FULL model, where XLA scheduling around
-        # the kernel differs from standalone kernel timing).
+        # the kernel differs from standalone kernel timing). Defaults from
+        # the full-model d=4 A/B on v5e: per-donor chunked calls at TB=6
+        # (584 ms, 59.4% MFU) beat the donor-folded grid (4x4: 626 ms,
+        # 3x4: 643 ms) — chunked calls let XLA overlap the next donor's
+        # ckv/glue with the current donor's kernel, outweighing the fold's
+        # standalone win (110.8 vs 120.7 ms/donor of weight-DMA saving).
+        db_pick = int(os.environ.get("VFX_MOD_DB", "0")) or 1
         tb_pick = int(os.environ.get("VFX_MOD_TB", "0")) or pick_tissue_block(
-            t, d
+            t, db_pick
         )
-        db_pick = int(os.environ.get("VFX_MOD_DB", "0")) or 4
         packed = params.get("gene_layers_packed")
         if packed is not None:
             # Inference fast path: load-time packed weights
