@@ -143,9 +143,12 @@ def main():
         )
     print(f"warm-up (compile) in {time.time() - t0:.1f}s", flush=True)
 
+    import json
+
+    stats = {}
     t0 = time.time()
     df = genome_wide_expression(
-        proc, vcf, tissues, batch_size=args.batch_size
+        proc, vcf, tissues, batch_size=args.batch_size, stats=stats
     )
     dt = time.time() - t0
     n = df["gene_id"].nunique()
@@ -153,6 +156,11 @@ def main():
         f"sustained: {n} genes x {args.tissues} tissues in {dt:.1f}s "
         f"= {n / dt:.2f} genes/s (host+device integrated)"
     )
+    print(json.dumps({
+        "metric": "sustained_genes_per_s_end_to_end",
+        "genes": n, "tissues": args.tissues,
+        "genes_per_s": round(n / dt, 3), **stats,
+    }))
 
 
 if __name__ == "__main__":

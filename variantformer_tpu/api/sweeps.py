@@ -73,10 +73,20 @@ def genome_wide_expression(
     out_dir: str | None = None,
     shard_rows: int = 512,
     prefetch: int = 8,
+    stats: dict | None = None,
 ) -> pd.DataFrame | None:
     """Predict expression for every gene (or ``genes``) x ``tissues`` for one
     donor. With ``out_dir`` set, streams parquet shards and returns None;
-    otherwise returns the full dataframe."""
+    otherwise returns the full dataframe.
+
+    Pass a dict as ``stats`` to receive the per-stage wall-clock breakdown:
+    StageTimer totals (host_build runs in worker threads; pack/dispatch/
+    device_sync on the main thread), the sweep's wall seconds, and
+    ``device_busy_frac`` — the fraction of wall time the main thread spent
+    dispatching or blocked on device results. Under the one-deep software
+    pipeline the device is computing during both, so this is a lower bound
+    on true device occupancy; the remainder is time the main thread waited
+    on host builds (host-bound) or spent shaping rows."""
 
     from variantformer_tpu.data.pipeline import GeneSampleBuilder
     from variantformer_tpu.utils.fasta import FastaReader
@@ -105,7 +115,10 @@ def genome_wide_expression(
         ),
         vcf=VCFReader(vcf_path) if vcf_path else None,
     )
+    import time as _time
+
     timer = StageTimer()
+    wall_t0 = _time.perf_counter()
 
     def build(gene_id):
         try:
@@ -175,6 +188,15 @@ def genome_wide_expression(
         if in_flight is not None:
             drain(*in_flight)
     timer.log_summary("genome-wide")
+    if stats is not None:
+        import time as _time
+
+        wall = _time.perf_counter() - wall_t0
+        busy = timer.totals["dispatch"] + timer.totals["device_sync"]
+        stats.update(
+            stages=timer.summary(), wall_s=round(wall, 3),
+            device_busy_frac=round(busy / wall, 4) if wall else None,
+        )
     if out_path:
         flush(force=True)
         return None
