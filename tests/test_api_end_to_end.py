@@ -493,3 +493,56 @@ def test_create_vcf_streaming_merge(processor, fixture_env, tmp_path):
         processor.create_vcf_from_variant(
             new_df, str(tmp_path / "bad_merge.vcf.gz"), vcf_path=str(bad)
         )
+
+
+def test_vep_ref_once_matches_legacy(fixture_env, tmp_path, monkeypatch):
+    """The ref-once cache (first variant per gene dispatches a full triple +
+    streams; later variants run as het/hom pairs with the ref row
+    reconstructed from the cache) must reproduce the legacy all-triples
+    path on every output column, INCLUDING the position-dependent ref
+    token embeddings (host gathers from the cached streams)."""
+    import dataclasses
+
+    from variantformer_tpu.config import PrecisionPolicy
+
+    seq = fixture_env["seq"]
+    cfg = dataclasses.replace(
+        _tiny_cfg(vocab_size=500),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    rows = []
+    for pos in (321, 721, 755):
+        ref = seq[pos - 1]
+        rows.append({
+            "chrom": "chr1", "pos": pos, "ref": ref,
+            "alt": {"A": "G", "C": "T", "G": "A", "T": "C"}[ref],
+            "tissue": "tissue0,tissue2",
+        })
+    var_df = pd.DataFrame(rows)
+
+    def run(out_name, ref_once):
+        monkeypatch.setenv("VFX_VEP_REF_ONCE", "1" if ref_once else "0")
+        vp = VariantProcessor(sources=fixture_env["sources"], config=cfg)
+        vp.set_params(init_seq2gene(jax.random.key(1), cfg))
+        df = vp.predict(
+            var_df, str(tmp_path / out_name),
+            vcf_path=fixture_env["vcf"], sample_name="S1",
+        )
+        return df.sort_values(
+            ["pos", "genes", "tissues", "population", "zygosity"]
+        ).reset_index(drop=True)
+
+    legacy = run("legacy", False)
+    cached = run("cached", True)
+    assert len(legacy) == len(cached) and len(legacy) > 0
+    np.testing.assert_allclose(
+        cached["gene_exp"].to_numpy(float),
+        legacy["gene_exp"].to_numpy(float),
+        rtol=1e-5, atol=1e-6,
+    )
+    for col in ("gene_emb", "gene_token_embedding", "cre_token_embedding"):
+        np.testing.assert_allclose(
+            np.stack(cached[col].to_list()).astype(float),
+            np.stack(legacy[col].to_list()).astype(float),
+            rtol=1e-4, atol=1e-5, err_msg=col,
+        )

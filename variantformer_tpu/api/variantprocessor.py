@@ -52,6 +52,16 @@ class VariantProcessor:
         self.tissue_vocab = self._vp.tissue_vocab
         self.tissue_idx_to_name = {v: k for k, v in self.tissue_vocab.items()}
         self.gene_variant_pairs: list[dict] = []
+        # ref-once cache: the REF sample is identical for every variant on a
+        # (gene, population) — its expression/embedding and final streams
+        # are cached from one triple dispatch, and later variants run as
+        # het/hom PAIRS (-33% device work); ref token embeddings are
+        # gathered host-side from the cached streams at each variant's
+        # positions. LRU-capped (streams are ~35 MB/gene at full geometry).
+        from collections import OrderedDict
+
+        self._ref_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._ref_cache_max = int(os.environ.get("VFX_VEP_REF_CACHE", "4"))
 
     @property
     def config(self):
@@ -154,24 +164,29 @@ class VariantProcessor:
 
     def _forward_triples(
         self, vep_samples: list, tissues: list[int], pad_to: int | None = None,
-        cre_pad_to: int | None = None,
+        cre_pad_to: int | None = None, zygs: tuple = (0, 1, 2),
+        return_streams: bool = False,
     ) -> list:
-        """Run k ref/het/hom triples through the model in ONE dispatch
-        (D = 3k) and split the outputs back per triple. The reference's
-        VEPDataset asserts batch_size==1 (collate_fn, vepdataset.py:32);
-        batching variants here amortizes the fixed per-dispatch latency the
-        same way donor batching does for vcf2exp. All triples in a group
-        share the tissue list and position-presence (the caller groups).
+        """Run k ref/het/hom triples (or het/hom PAIRS, ``zygs=(1, 2)`` —
+        the ref-once cache path) through the model in ONE dispatch
+        (D = len(zygs)*k) and split the outputs back per item. The
+        reference's VEPDataset asserts batch_size==1 (collate_fn,
+        vepdataset.py:32); batching variants here amortizes the fixed
+        per-dispatch latency the same way donor batching does for vcf2exp.
+        All items in a group share the tissue list and position-presence
+        (the caller groups; presence is judged across ALL THREE zygosities
+        regardless of ``zygs``, preserving the triple path's semantics).
 
         ``pad_to`` pads a partial trailing group to the canonical k by
-        repeating the last triple (pad outputs dropped): a smaller D would
+        repeating the last item (pad outputs dropped): a smaller D would
         be a fresh device shape, i.e. a fresh multi-minute compile."""
         import jax.numpy as jnp
 
         n_real = len(vep_samples)
+        z = len(zygs)
         if pad_to is not None and n_real < pad_to:
             vep_samples = vep_samples + [vep_samples[-1]] * (pad_to - n_real)
-        flat = [s for vs in vep_samples for s in vs.samples]
+        flat = [vs.samples[zi] for vs in vep_samples for zi in zygs]
         batch = pack_samples(flat, tissues, cre_pad_to=cre_pad_to)
         first = vep_samples[0]
         ctp = None
@@ -180,20 +195,29 @@ class VariantProcessor:
                 [
                     int(vs.cre_token_position)
                     for vs in vep_samples
-                    for _ in range(3)
+                    for _ in zygs
                 ],
                 jnp.int32,
             )
         gtp = None
         if not any(np.isnan(g) for g in first.gene_token_positions):
             gtp = jnp.asarray(
-                [int(g) for vs in vep_samples for g in vs.gene_token_positions],
+                [
+                    int(vs.gene_token_positions[zi])
+                    for vs in vep_samples
+                    for zi in zygs
+                ],
                 jnp.int32,
             )
         batch = batch._replace(cre_token_position=ctp, gene_token_position=gtp)
-        out = self._vp._forward(batch)
+        out = self._vp._forward(batch, return_streams=return_streams)
         return [
-            type(out)(*(leaf[3 * i : 3 * i + 3] for leaf in out))
+            type(out)(
+                *(
+                    None if leaf is None else leaf[z * i : z * i + z]
+                    for leaf in out
+                )
+            )
             for i in range(n_real)
         ]
 
@@ -276,14 +300,17 @@ class VariantProcessor:
             # k x the compute to warm a shape nothing else will use
             # (fragmented group keys, see docstring).
             pad_to = k if pad else None
+            pair_mode = key[-1] == "pair"
             outs = self._forward_triples(
-                [s for _, s in idxs_samples], list(key[0]), pad_to=pad_to,
-                cre_pad_to=key[3],
+                [s for _, s, _ in idxs_samples], list(key[0]), pad_to=pad_to,
+                cre_pad_to=key[3], zygs=(1, 2) if pair_mode else (0, 1, 2),
             )
             pad_stats["real"] += len(idxs_samples)
             if pad_to is not None:
                 pad_stats["padded"] += pad_to - len(idxs_samples)
-            for (i, sample), out in zip(idxs_samples, outs):
+            for (i, sample, ckey), out in zip(idxs_samples, outs):
+                if pair_mode:
+                    out = self._merge_ref(out, sample, ckey, len(key[0]))
                 predictions[i] = dict(
                     variant_type=sample.variant_type, out=out
                 )
@@ -366,14 +393,24 @@ class VariantProcessor:
         )
         return df
 
-    @staticmethod
     def _consume_builds(
-        built, predictions, buffers, filled, flush, k, bucket_step, gene_cap,
-        canonical_cres,
+        self, built, predictions, buffers, filled, flush, k, bucket_step,
+        gene_cap, canonical_cres,
     ):
         """Group worker-built samples by device-shape key and flush every k
         (see ``predict``). Runs on the main thread so dispatch/JAX state is
-        single-threaded; ordering is the submission order (_bounded_map)."""
+        single-threaded; ordering is the submission order (_bounded_map).
+
+        With the ref-once cache active (default; VFX_VEP_REF_ONCE=0 to
+        disable, and off under a mesh), the FIRST variant of each
+        (gene, population) dispatches as a full triple that also returns the
+        ref's final streams, and every later variant dispatches as a het/hom
+        pair — the ref row is reconstructed from the cache exactly (the
+        model's per-donor computation is donor-independent)."""
+        ref_once = (
+            os.environ.get("VFX_VEP_REF_ONCE", "1") != "0"
+            and getattr(self._vp, "_mesh", None) is None
+        )
         for pair_index, pair, sample in built:
             if not sample.samples:
                 predictions[pair_index] = dict(
@@ -385,17 +422,82 @@ class VariantProcessor:
             c_key = -(-c // bucket_step) * bucket_step
             if canonical_cres:
                 c_key = max(canonical_cres, c_key)
-            key = (
-                tuple(pair["variant"].tissue),
+            tissues = tuple(pair["variant"].tissue)
+            base = (
+                tissues,
                 bool(np.isnan(sample.cre_token_position)),
                 any(np.isnan(gp) for gp in sample.gene_token_positions),
                 c_key,
                 gene_cap if g == gene_cap else -(-g // bucket_step) * bucket_step,
             )
-            buffers.setdefault(key, []).append((pair_index, sample))
+            ckey = (
+                pair["population"], pair["sample_name"], pair["vcf_path"],
+                pair["gene"]["gene_id"], tissues,
+            )
+            if ref_once and ckey not in self._ref_cache:
+                out = self._forward_triples(
+                    [sample], list(tissues), cre_pad_to=c_key,
+                    return_streams=True,
+                )[0]
+                self._cache_ref(ckey, out)
+                predictions[pair_index] = dict(
+                    variant_type=sample.variant_type,
+                    out=out._replace(gene_stream=None, cre_stream=None),
+                )
+                continue
+            key = base + (("pair",) if ref_once else ("triple",))
+            buffers.setdefault(key, []).append((pair_index, sample, ckey))
             if len(buffers[key]) >= k:
                 filled.add(key)
                 flush(key)
+
+    def _cache_ref(self, ckey: tuple, out) -> None:
+        entry = dict(
+            exp=np.asarray(out.pred_expression[0], np.float32),
+            emb=np.asarray(out.pooled_embedding[0], np.float32),
+            gene_stream=np.asarray(out.gene_stream[0]),   # [T, G1, E] bf16
+            cre_stream=np.asarray(out.cre_stream[0]),     # [C, E] bf16
+        )
+        self._ref_cache[ckey] = entry
+        self._ref_cache.move_to_end(ckey)
+        while len(self._ref_cache) > self._ref_cache_max:
+            self._ref_cache.popitem(last=False)
+
+    def _merge_ref(self, out, sample, ckey: tuple, n_tissues: int):
+        """Reassemble a [3, ...] triple output from a het/hom pair dispatch
+        plus the cached ref: expression/embedding are variant-independent;
+        ref token embeddings are host gathers from the cached final streams
+        at THIS variant's positions (the in-model gather's exact values —
+        same bf16 stream, same index, same f32 cast)."""
+        from variantformer_tpu.models.seq2gene import Seq2GeneOutput
+
+        ref = self._ref_cache[ckey]
+        self._ref_cache.move_to_end(ckey)
+        emb_dim = ref["emb"].shape[-1]
+        flag_c = not np.isnan(sample.cre_token_position)
+        flag_g = not any(np.isnan(x) for x in sample.gene_token_positions)
+        if flag_g:
+            gt_ref = ref["gene_stream"][
+                :, int(sample.gene_token_positions[0]) + 1, :
+            ].astype(np.float32)
+        else:
+            gt_ref = np.zeros((n_tissues, emb_dim), np.float32)
+        if flag_c:
+            gathered = ref["cre_stream"][
+                int(sample.cre_token_position)
+            ].astype(np.float32)
+            ct_ref = np.broadcast_to(gathered, (n_tissues, emb_dim))
+        else:
+            ct_ref = np.zeros((n_tissues, emb_dim), np.float32)
+        cat = lambda head, tail: np.concatenate(
+            [head[None], np.asarray(tail, np.float32)], axis=0
+        )
+        return Seq2GeneOutput(
+            pred_expression=cat(ref["exp"], out.pred_expression),
+            pooled_embedding=cat(ref["emb"], out.pooled_embedding),
+            gene_token_embedding=cat(gt_ref, out.gene_token_embedding),
+            cre_token_embedding=cat(ct_ref, out.cre_token_embedding),
+        )
 
     # -- output assembly ----------------------------------------------------
     def compile_predictions(

@@ -393,9 +393,13 @@ class VCFProcessor:
         self._mesh = mesh
         self._fwd_cache.clear()
 
-    def _forward(self, batch):
+    def _forward(self, batch, return_streams: bool = False):
         mesh = getattr(self, "_mesh", None)
         mesh_fused = getattr(self, "_mesh_fused", False)
+        if return_streams and mesh is not None:
+            raise ValueError(
+                "return_streams is a single-device path (VEP ref-once cache)"
+            )
         d = batch.cre_tokens.shape[0]
         t = batch.tissue_ids.shape[0]
         if mesh is not None:
@@ -442,6 +446,7 @@ class VCFProcessor:
             batch.cre_tokens.shape,
             batch.gene_tokens.shape,
             batch.tissue_ids.shape,
+            return_streams,
         )
         if key not in self._fwd_cache:
             cfg = self.config
@@ -460,13 +465,17 @@ class VCFProcessor:
                 self._fwd_cache[key] = fwd(cfg, mesh, batch, impl=impl)
             else:
                 self._fwd_cache[key] = jax.jit(
-                    lambda p, b: seq2gene_forward(p, b, cfg, impl=impl)
+                    lambda p, b, rs=return_streams: seq2gene_forward(
+                        p, b, cfg, impl=impl, return_streams=rs
+                    )
                 )
         out = self._fwd_cache[key](self._params, batch)
         if batch.cre_tokens.shape[0] != d:  # slice off donor padding
-            out = type(out)(*(leaf[:d] for leaf in out))
+            out = type(out)(*(None if leaf is None else leaf[:d] for leaf in out))
         if batch.tissue_ids.shape[0] != t:  # slice off tissue padding
-            out = type(out)(*(leaf[:, :t] for leaf in out))
+            out = type(out)(
+                *(None if leaf is None else leaf[:, :t] for leaf in out)
+            )
         return out
 
     # -- prediction ---------------------------------------------------------

@@ -64,6 +64,11 @@ class Seq2GeneOutput(NamedTuple):
     pooled_embedding: jax.Array  # [D, T, E] f32
     gene_token_embedding: jax.Array  # [D, T, E] f32 (zeros unless VEP positions)
     cre_token_embedding: jax.Array   # [D, T, E] f32
+    # Final streams (compute dtype), present only with return_streams=True:
+    # lets the VEP ref-once cache gather variant-position token embeddings
+    # on the host for every later variant on the same (gene, population).
+    gene_stream: jax.Array | None = None  # [D, T, G+1, E]
+    cre_stream: jax.Array | None = None   # [D, C, E]
 
 
 def _gene_cross_attention(
@@ -136,6 +141,7 @@ def seq2gene_forward(
     cfg: ModelConfig,
     impl: str = "xla",
     window_gather_axes: tuple | None = None,
+    return_streams: bool = False,
 ) -> Seq2GeneOutput:
     """End-to-end jittable forward: tokens -> per-(donor, tissue) expression.
 
@@ -375,6 +381,14 @@ def seq2gene_forward(
         pooled_embedding=pooled.astype(jnp.float32),
         gene_token_embedding=gene_tok.astype(jnp.float32),
         cre_token_embedding=cre_tok.astype(jnp.float32),
+        # compute_dtype, not a forced narrow cast: the host-side ref-once
+        # gathers must reproduce the in-model gather+f32-cast exactly.
+        gene_stream=(
+            gene_stream.astype(compute_dtype) if return_streams else None
+        ),
+        cre_stream=(
+            cre_final.astype(compute_dtype) if return_streams else None
+        ),
     )
 
 
