@@ -63,6 +63,8 @@ def test_full_geometry_sharded_forward_matches_single_device():
         pmesh.shard_params(params, m), pmesh.shard_batch(batch, m)
     )
     for name in single._fields:
+        if getattr(single, name) is None:  # optional stream outputs
+            continue
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)),
             np.asarray(getattr(single, name)),

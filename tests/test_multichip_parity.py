@@ -59,6 +59,8 @@ def test_sharded_forward_matches_single_device():
     )
 
     for name in single._fields:
+        if getattr(single, name) is None:  # optional stream outputs
+            continue
         np.testing.assert_allclose(
             np.asarray(getattr(sharded_out, name)),
             np.asarray(getattr(single, name)),
@@ -327,6 +329,8 @@ def test_donor_dp_fused_forward_matches_single_device():
     out = pmesh.donor_dp_forward(cfg, m, b, impl="fused2")(repl, b)
 
     for name in single._fields:
+        if getattr(single, name) is None:  # optional stream outputs
+            continue
         # embeddings leave the kernel in bf16 — the shard split moves window
         # blocks, so they can differ by a couple of bf16 ulps (~2^-6 around
         # |x|~2); the f32 prediction head is the tight contract.
@@ -515,6 +519,8 @@ def test_tissue_sharded_forward_matches_single_device():
     )
 
     for name in single._fields:
+        if getattr(single, name) is None:  # optional stream outputs
+            continue
         np.testing.assert_allclose(
             np.asarray(getattr(sharded_out, name))[:, :t],
             np.asarray(getattr(single, name)),
@@ -639,6 +645,8 @@ def test_tissue_dp_fused_forward_matches_single_device():
     out = type(out)(*(leaf[:, :t0] for leaf in out))
 
     for name in single._fields:
+        if getattr(single, name) is None:  # optional stream outputs
+            continue
         tol = dict(rtol=5e-4, atol=5e-4) if name == "pred_expression" else dict(
             rtol=1e-2, atol=5e-2
         )
