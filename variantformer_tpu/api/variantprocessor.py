@@ -210,12 +210,26 @@ class VariantProcessor:
                 jnp.int32,
             )
         batch = batch._replace(cre_token_position=ctp, gene_token_position=gtp)
-        out = self._vp._forward(batch, return_streams=return_streams)
+        # Embeddings cross the host boundary as bf16 (lossless at the bf16
+        # compute dtype; _forward upcast-guards) — on relay-fronted rigs the
+        # per-dispatch output transfer is the VEP path's dominant cost. ONE
+        # np.asarray per leaf, then numpy slicing per item: k device slices
+        # would each pay a transfer round trip.
+        out = self._vp._forward(
+            batch, return_streams=return_streams, narrow_embeddings=True
+        )
+        host = type(out)(
+            *(
+                None if leaf is None
+                else np.asarray(leaf).astype(np.float32, copy=False)
+                for leaf in out
+            )
+        )
         return [
-            type(out)(
+            type(host)(
                 *(
                     None if leaf is None else leaf[z * i : z * i + z]
-                    for leaf in out
+                    for leaf in host
                 )
             )
             for i in range(n_real)

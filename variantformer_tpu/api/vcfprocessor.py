@@ -393,13 +393,26 @@ class VCFProcessor:
         self._mesh = mesh
         self._fwd_cache.clear()
 
-    def _forward(self, batch, return_streams: bool = False):
+    def _forward(
+        self, batch, return_streams: bool = False,
+        narrow_embeddings: bool = False,
+    ):
+        """``narrow_embeddings``: emit the three embedding outputs as bf16
+        (pred_expression stays f32). LOSSLESS when the compute dtype is
+        bf16 — the f32 embedding outputs are upcasts of bf16 stream values —
+        and a no-op otherwise; halves the VEP path's dominant per-dispatch
+        output transfer on relay-fronted rigs."""
         mesh = getattr(self, "_mesh", None)
         mesh_fused = getattr(self, "_mesh_fused", False)
         if return_streams and mesh is not None:
             raise ValueError(
                 "return_streams is a single-device path (VEP ref-once cache)"
             )
+        import jax.numpy as _jnp
+
+        narrow_embeddings = narrow_embeddings and (
+            _jnp.dtype(self.config.precision.compute_dtype) == _jnp.bfloat16
+        )
         d = batch.cre_tokens.shape[0]
         t = batch.tissue_ids.shape[0]
         if mesh is not None:
@@ -447,6 +460,7 @@ class VCFProcessor:
             batch.gene_tokens.shape,
             batch.tissue_ids.shape,
             return_streams,
+            narrow_embeddings,
         )
         if key not in self._fwd_cache:
             cfg = self.config
@@ -464,11 +478,26 @@ class VCFProcessor:
                 )
                 self._fwd_cache[key] = fwd(cfg, mesh, batch, impl=impl)
             else:
-                self._fwd_cache[key] = jax.jit(
-                    lambda p, b, rs=return_streams: seq2gene_forward(
+
+                def fwd(p, b, rs=return_streams, ne=narrow_embeddings):
+                    out = seq2gene_forward(
                         p, b, cfg, impl=impl, return_streams=rs
                     )
-                )
+                    if ne:
+                        out = out._replace(
+                            pooled_embedding=out.pooled_embedding.astype(
+                                jnp.bfloat16
+                            ),
+                            gene_token_embedding=(
+                                out.gene_token_embedding.astype(jnp.bfloat16)
+                            ),
+                            cre_token_embedding=(
+                                out.cre_token_embedding.astype(jnp.bfloat16)
+                            ),
+                        )
+                    return out
+
+                self._fwd_cache[key] = jax.jit(fwd)
         out = self._fwd_cache[key](self._params, batch)
         if batch.cre_tokens.shape[0] != d:  # slice off donor padding
             out = type(out)(*(None if leaf is None else leaf[:d] for leaf in out))
