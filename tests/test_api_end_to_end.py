@@ -546,3 +546,94 @@ def test_vep_ref_once_matches_legacy(fixture_env, tmp_path, monkeypatch):
             np.stack(legacy[col].to_list()).astype(float),
             rtol=1e-4, atol=1e-5, err_msg=col,
         )
+
+
+def test_vep_window_dedup_matches_plain(fixture_env, tmp_path, monkeypatch):
+    """Window-dedup pools (encode each unique window once, gather per donor)
+    must reproduce the plain per-donor layout on every output column."""
+    import dataclasses
+
+    from variantformer_tpu.config import PrecisionPolicy
+
+    seq = fixture_env["seq"]
+    cfg = dataclasses.replace(
+        _tiny_cfg(vocab_size=500),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    rows = []
+    for pos in (321, 721):
+        ref = seq[pos - 1]
+        rows.append({
+            "chrom": "chr1", "pos": pos, "ref": ref,
+            "alt": {"A": "G", "C": "T", "G": "A", "T": "C"}[ref],
+            "tissue": "tissue0,tissue2",
+        })
+    var_df = pd.DataFrame(rows)
+
+    def run(out_name, dedup):
+        monkeypatch.setenv("VFX_VEP_DEDUP", "1" if dedup else "0")
+        vp = VariantProcessor(sources=fixture_env["sources"], config=cfg)
+        vp.set_params(init_seq2gene(jax.random.key(1), cfg))
+        df = vp.predict(
+            var_df, str(tmp_path / out_name),
+            vcf_path=fixture_env["vcf"], sample_name="S1",
+            variants_per_dispatch=2,
+        )
+        return df.sort_values(
+            ["pos", "genes", "tissues", "population", "zygosity"]
+        ).reset_index(drop=True)
+
+    plain = run("plain", False)
+    dedup = run("dedup", True)
+    assert len(plain) == len(dedup) and len(plain) > 0
+    np.testing.assert_allclose(
+        dedup["gene_exp"].to_numpy(float),
+        plain["gene_exp"].to_numpy(float),
+        rtol=1e-5, atol=1e-6,
+    )
+    for col in ("gene_emb", "gene_token_embedding", "cre_token_embedding"):
+        np.testing.assert_allclose(
+            np.stack(dedup[col].to_list()).astype(float),
+            np.stack(plain[col].to_list()).astype(float),
+            rtol=1e-4, atol=1e-5, err_msg=col,
+        )
+
+
+def test_dedup_pool_construction():
+    """The pool layout itself: unique rows keyed by (len, tokens), gathers
+    reconstructing the plain layout exactly, canonical cap padding."""
+    from variantformer_tpu.api.variantprocessor import VariantProcessor
+    from variantformer_tpu.models.seq2gene import Seq2GeneBatch
+
+    rng = np.random.default_rng(0)
+    d, c, g, l = 3, 5, 4, 8
+    base_cre = rng.integers(4, 30, (c, l)).astype(np.int32)
+    cre_tokens = np.tile(base_cre, (d, 1, 1))
+    cre_tokens[1, 2] = rng.integers(4, 30, l)  # one edited window
+    base_gene = rng.integers(4, 30, (g, l)).astype(np.int32)
+    gene_tokens = np.tile(base_gene, (d, 1, 1))
+    batch = Seq2GeneBatch(
+        cre_tokens=cre_tokens,
+        cre_tok_len=np.full((d, c), l, np.int32),
+        cre_count=np.full((d,), c, np.int32),
+        cre_labels=np.zeros((d, c), np.int32),
+        gene_tokens=gene_tokens,
+        gene_tok_len=np.full((d, g), l, np.int32),
+        gene_count=np.full((d,), g, np.int32),
+        tissue_ids=np.zeros((2,), np.int32),
+    )
+    out = VariantProcessor._dedup_windows(batch, slack=16)
+    assert out.cre_pool_tokens is not None
+    assert out.cre_pool_tokens.shape == (c + 16, l)
+    # c unique ref windows + 1 edit
+    pools = np.asarray(out.cre_pool_tokens)
+    gather = np.asarray(out.cre_gather)
+    lens = np.asarray(out.cre_pool_len)
+    used = np.unique(gather)
+    assert len(used) == c + 1
+    np.testing.assert_array_equal(pools[gather], cre_tokens)
+    np.testing.assert_array_equal(
+        lens[gather], np.asarray(batch.cre_tok_len)
+    )
+    # gene windows are fully shared -> g unique rows
+    assert len(np.unique(np.asarray(out.gene_gather))) == g

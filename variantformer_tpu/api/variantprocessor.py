@@ -210,6 +210,7 @@ class VariantProcessor:
                 jnp.int32,
             )
         batch = batch._replace(cre_token_position=ctp, gene_token_position=gtp)
+        batch = self._dedup_windows(batch)
         # Embeddings cross the host boundary as bf16 (lossless at the bf16
         # compute dtype; _forward upcast-guards) — on relay-fronted rigs the
         # per-dispatch output transfer is the VEP path's dominant cost. ONE
@@ -234,6 +235,50 @@ class VariantProcessor:
             )
             for i in range(n_real)
         ]
+
+    @staticmethod
+    def _dedup_windows(batch, slack: int = 64):
+        """Attach window-dedup pools to a VEP batch (VFX_VEP_DEDUP=0 to
+        disable). The donors of a dispatch — ref/het/hom of one variant, or
+        k batched variants on the same gene — share all but the edited
+        windows, and window encoding is strictly per-window, so encoding
+        each unique (tok_len, tokens) row once and gathering per donor is
+        EXACT. Pool axes are padded to canonical caps (window slots +
+        ``slack``) so every dispatch of a group shares one device shape;
+        a pool overflowing its cap falls back to the plain layout."""
+        if os.environ.get("VFX_VEP_DEDUP", "1") == "0":
+            return batch
+        import jax.numpy as jnp
+
+        def pool(tokens, lens, cap):
+            d, n, length = tokens.shape
+            keyed = np.concatenate(
+                [np.asarray(lens).reshape(d * n, 1),
+                 np.asarray(tokens).reshape(d * n, length)],
+                axis=1,
+            )
+            uniq, inv = np.unique(keyed, axis=0, return_inverse=True)
+            if len(uniq) > cap:
+                return None
+            pt = np.zeros((cap, length), np.int32)
+            pl = np.zeros((cap,), np.int32)
+            pt[: len(uniq)] = uniq[:, 1:]
+            pl[: len(uniq)] = uniq[:, 0]
+            return (
+                jnp.asarray(pt), jnp.asarray(pl),
+                jnp.asarray(inv.reshape(d, n).astype(np.int32)),
+            )
+
+        cp = pool(batch.cre_tokens, batch.cre_tok_len,
+                  batch.cre_tokens.shape[1] + slack)
+        gp = pool(batch.gene_tokens, batch.gene_tok_len,
+                  batch.gene_tokens.shape[1] + slack)
+        if cp is None or gp is None:
+            return batch
+        return batch._replace(
+            cre_pool_tokens=cp[0], cre_pool_len=cp[1], cre_gather=cp[2],
+            gene_pool_tokens=gp[0], gene_pool_len=gp[1], gene_gather=gp[2],
+        )
 
     def _output_path(self, output_dir: str, chunks: int, chunk_id: int) -> str:
         name = (

@@ -57,6 +57,18 @@ class Seq2GeneBatch(NamedTuple):
     tissue_ids: jax.Array       # [T] int32, shared across donors
     cre_token_position: jax.Array | None = None   # [D] int32 (VEP)
     gene_token_position: jax.Array | None = None  # [D] int32 (VEP)
+    # Window-dedup pools (VEP): ref/het/hom donors — and k batched variants
+    # on the same gene — share all but a handful of windows, and window
+    # encoding is strictly per-window, so encoding each UNIQUE window once
+    # and gathering per donor is exact. All five fields set together; the
+    # plain window axes above still carry the full per-donor layout (the
+    # modulator and counts read them).
+    cre_pool_tokens: jax.Array | None = None   # [Uc, L] int32
+    cre_pool_len: jax.Array | None = None      # [Uc] int32
+    cre_gather: jax.Array | None = None        # [D, C] int32 -> pool row
+    gene_pool_tokens: jax.Array | None = None  # [Ug, Lg] int32
+    gene_pool_len: jax.Array | None = None     # [Ug] int32
+    gene_gather: jax.Array | None = None       # [D, G] int32 -> pool row
 
 
 class Seq2GeneOutput(NamedTuple):
@@ -186,7 +198,46 @@ def seq2gene_forward(
     )
 
     # === 1. Window encoding (frozen tokenizers), per donor ===
-    if (
+    if batch.cre_pool_tokens is not None:
+        # Window-dedup pools (VEP): encode each unique window once, gather
+        # per donor — exact, because window encoding never crosses windows.
+        if wcfg.use_context:
+            raise ValueError(
+                "window-dedup pools require the context-free encoder "
+                "(per-window labels are not pooled)"
+            )
+        lc_p = batch.cre_pool_tokens.shape[-1]
+        lg_p = batch.gene_pool_tokens.shape[-1]
+        if (
+            enc_spec.impl == "fused"
+            and wcfg.seq_pool == "mean"
+            and lc_p == lg_p
+        ):
+            from variantformer_tpu.models.seq2reg import encode_windows_dual
+
+            cre_pool, gene_pool = encode_windows_dual(
+                params["cre_tokenizer"],
+                batch.cre_pool_tokens, batch.cre_pool_len,
+                params["gene_tokenizer"],
+                batch.gene_pool_tokens, batch.gene_pool_len,
+                wcfg, enc_spec, compute_dtype,
+            )
+        else:
+            cre_pool = encode_windows(
+                params["cre_tokenizer"],
+                batch.cre_pool_tokens, batch.cre_pool_len,
+                jnp.zeros((batch.cre_pool_tokens.shape[0],), jnp.int32),
+                wcfg, enc_spec, compute_dtype,
+            )
+            gene_pool = encode_windows(
+                params["gene_tokenizer"],
+                batch.gene_pool_tokens, batch.gene_pool_len,
+                jnp.zeros((batch.gene_pool_tokens.shape[0],), jnp.int32),
+                wcfg, enc_spec, compute_dtype,
+            )
+        cre_emb = cre_pool[batch.cre_gather]    # [D, C, E1]
+        gene_emb = gene_pool[batch.gene_gather]  # [D, G, E1]
+    elif (
         enc_spec.impl == "fused"
         and not wcfg.use_context
         and wcfg.seq_pool == "mean"

@@ -89,8 +89,8 @@ def batch_specs(
     def donor_spec(name, leaf):
         if leaf is None:
             return None
-        if name == "tissue_ids":
-            return P()
+        if name == "tissue_ids" or "pool" in name:
+            return P()  # dedup pools are donor-shared
         return P("data", *([None] * (leaf.ndim - 1)))
 
     def tissue_spec(name, leaf):
@@ -275,8 +275,8 @@ def donor_dp_batch_specs(batch: Seq2GeneBatch, mesh: Mesh) -> Seq2GeneBatch:
     def spec(name, leaf):
         if leaf is None:
             return None
-        if name == "tissue_ids":
-            return P()
+        if name == "tissue_ids" or "pool" in name:
+            return P()  # dedup pools are donor-shared
         return P(axes, *([None] * (leaf.ndim - 1)))
 
     return Seq2GeneBatch(
