@@ -548,6 +548,74 @@ def test_vep_ref_once_matches_legacy(fixture_env, tmp_path, monkeypatch):
         )
 
 
+def test_vep_ref_cache_eviction_safety(fixture_env, tmp_path, monkeypatch):
+    """Pair batching (k=2) + a 1-entry ref cache: buffered het/hom pairs PIN
+    their ref entry, so an interleaving (gene, population) group can never
+    evict a ref that a later grouped flush still needs (the pre-fix failure
+    was a KeyError mid-sweep). Outputs must match the all-triples path and
+    telemetry must record the reuse."""
+    import dataclasses
+
+    from variantformer_tpu.config import PrecisionPolicy
+
+    seq = fixture_env["seq"]
+    cfg = dataclasses.replace(
+        _tiny_cfg(vocab_size=500),
+        precision=PrecisionPolicy(compute_dtype="float32"),
+    )
+    # 130/321 sit in CREs only (gene-position NaN), 721/755 in CRE + gene
+    # window: two shape-group buffers per (gene, pop) ckey, and the odd
+    # count leaves a PARTIAL pair buffer outstanding when the next ckey's
+    # ref-miss inserts into the 1-entry cache — the pin must protect it.
+    rows = []
+    for pos in (130, 321, 721, 755):
+        ref = seq[pos - 1]
+        rows.append({
+            "chrom": "chr1", "pos": pos, "ref": ref,
+            "alt": {"A": "G", "C": "T", "G": "A", "T": "C"}[ref],
+            "tissue": "tissue0,tissue2",
+        })
+    var_df = pd.DataFrame(rows)
+
+    def run(out_name, ref_once, cache_max, k):
+        monkeypatch.setenv("VFX_VEP_REF_ONCE", "1" if ref_once else "0")
+        monkeypatch.setenv("VFX_VEP_REF_CACHE", str(cache_max))
+        vp = VariantProcessor(sources=fixture_env["sources"], config=cfg)
+        vp.set_params(init_seq2gene(jax.random.key(1), cfg))
+        df = vp.predict(
+            var_df, str(tmp_path / out_name),
+            vcf_path=fixture_env["vcf"], sample_name="S1",
+            variants_per_dispatch=k,
+        )
+        return vp, df.sort_values(
+            ["pos", "genes", "tissues", "population", "zygosity"]
+        ).reset_index(drop=True)
+
+    _, legacy = run("legacy", False, 8, 1)
+    vp, cached = run("cached", True, 1, 2)
+    assert len(legacy) == len(cached) and len(legacy) > 0
+    np.testing.assert_allclose(
+        cached["gene_exp"].to_numpy(float),
+        legacy["gene_exp"].to_numpy(float),
+        rtol=1e-5, atol=1e-6,
+    )
+    for col in ("gene_emb", "gene_token_embedding", "cre_token_embedding"):
+        np.testing.assert_allclose(
+            np.stack(cached[col].to_list()).astype(float),
+            np.stack(legacy[col].to_list()).astype(float),
+            rtol=1e-4, atol=1e-5, err_msg=col,
+        )
+    stats = vp.vep_stats
+    # 4 in-context variants x 2 populations on one gene: one miss per
+    # (gene, pop) ckey, every later variant a het/hom pair (75% ref reuse
+    # even at cache_max=1, thanks to pair scheduling); pins mean the
+    # outstanding partial buffer never loses its ref (no triple fallback).
+    assert stats["ref_misses"] == 2
+    assert stats["ref_hits"] == 6
+    assert stats.get("ref_fallbacks", 0) == 0
+    assert not vp._ref_pins, "all pins released at end of sweep"
+
+
 def test_vep_window_dedup_matches_plain(fixture_env, tmp_path, monkeypatch):
     """Window-dedup pools (encode each unique window once, gather per donor)
     must reproduce the plain per-donor layout on every output column."""

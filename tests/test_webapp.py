@@ -72,6 +72,27 @@ def test_vcf2exp_app(tmp_path):
     assert "fetch(" not in page and "XMLHttpRequest" not in page
 
 
+def test_script_breaking_names_are_escaped(tmp_path):
+    """A gene/tissue name containing '</script>' must not terminate the
+    inline script block (markup injection); '</' is embedded as '<\\/'
+    which parses to the identical string."""
+    evil = "G1</script><script>alert(1)//"
+    df = pd.DataFrame(
+        {
+            "gene_id": [evil],
+            "tissue_names": [["liver"]],
+            "predicted_expression": [[1.5]],
+        }
+    )
+    path = vcf2exp_app(df, tmp_path / "evil.html")
+    page = open(path).read()
+    data_line = re.search(r"const DATA = (.*?);\n", page).group(1)
+    assert "</script" not in data_line
+    assert json.loads(data_line)[evil]["liver"] == 1.5
+    # the page still ends with exactly one real closing script tag
+    assert page.count("</script>") == 1
+
+
 def test_vcf2risk_app(tmp_path):
     df = pd.DataFrame(
         {

@@ -61,7 +61,15 @@ class VariantProcessor:
         from collections import OrderedDict
 
         self._ref_cache: "OrderedDict[tuple, dict]" = OrderedDict()
-        self._ref_cache_max = int(os.environ.get("VFX_VEP_REF_CACHE", "4"))
+        # Streams are cached bf16 (~17 MB/gene at full geometry), so 8
+        # entries ≈ 140 MB host RAM; with pair scheduling (predict sorts
+        # pairs by (gene, population)) one live entry usually suffices and
+        # the cap only matters for unsorted external callers.
+        self._ref_cache_max = int(os.environ.get("VFX_VEP_REF_CACHE", "8"))
+        # Entries with buffered het/hom pairs outstanding are pinned
+        # (never evicted) so a grouped flush cannot miss its ref.
+        self._ref_pins: dict[tuple, int] = {}
+        self.vep_stats: dict[str, int] = {}
 
     @property
     def config(self):
@@ -215,15 +223,19 @@ class VariantProcessor:
         # compute dtype; _forward upcast-guards) — on relay-fronted rigs the
         # per-dispatch output transfer is the VEP path's dominant cost. ONE
         # np.asarray per leaf, then numpy slicing per item: k device slices
-        # would each pay a transfer round trip.
+        # would each pay a transfer round trip. Stream leaves stay bf16 on
+        # host too — they only feed the ref cache (gathers upcast at use),
+        # and keeping them bf16 halves the cache's memory per entry.
         out = self._vp._forward(
             batch, return_streams=return_streams, narrow_embeddings=True
         )
         host = type(out)(
             *(
                 None if leaf is None
+                else np.asarray(leaf)
+                if name in ("gene_stream", "cre_stream")
                 else np.asarray(leaf).astype(np.float32, copy=False)
-                for leaf in out
+                for name, leaf in zip(out._fields, out)
             )
         )
         return [
@@ -330,6 +342,18 @@ class VariantProcessor:
             if not variants:
                 raise ValueError(f"chunk {chunk_id}/{chunks} is empty")
         self.gene_variant_pairs = self._pairs(variants, vcf_path, sample_name)
+        # Pair scheduling: group by (gene, population) so the ref-once cache
+        # sees every variant of a (gene, population) back to back — one ref
+        # triple per group, everything else het/hom pairs — instead of
+        # thrashing the LRU on interleaved genes. Stable sort keeps variants
+        # in coordinate order within a group; output framing is pair-order
+        # consistent (compile_predictions zips this list).
+        self.gene_variant_pairs.sort(
+            key=lambda p: (
+                p["gene"]["gene_id"], p["population"], p["sample_name"]
+            )
+        )
+        self.vep_stats = {}
 
         if variants_per_dispatch is None:
             variants_per_dispatch = int(os.environ.get("VFX_VEP_BATCH", "1"))
@@ -353,13 +377,37 @@ class VariantProcessor:
             idxs_samples = buffers.pop(key, [])
             if not idxs_samples:
                 return
+            pair_mode = key[-1] == "pair"
+            if pair_mode:
+                # Pins make an eviction-before-flush impossible, but guard
+                # anyway (env toggles, external cache mutation): a pair
+                # whose ref entry is gone re-dispatches as a full triple.
+                missing = [
+                    t for t in idxs_samples if t[2] not in self._ref_cache
+                ]
+                if missing:
+                    self.vep_stats["ref_fallbacks"] = (
+                        self.vep_stats.get("ref_fallbacks", 0) + len(missing)
+                    )
+                    idxs_samples = [
+                        t for t in idxs_samples if t[2] in self._ref_cache
+                    ]
+                    for i, sample, ckey in missing:
+                        self._unpin(ckey)
+                        out = self._forward_triples(
+                            [sample], list(key[0]), cre_pad_to=key[3]
+                        )[0]
+                        predictions[i] = dict(
+                            variant_type=sample.variant_type, out=out
+                        )
+                    if not idxs_samples:
+                        return
             # Padding trades wasted FLOPs for shape reuse. For a key that
             # never filled a group, the canonical-k executable was never
             # compiled — dispatch at natural size instead of paying up to
             # k x the compute to warm a shape nothing else will use
             # (fragmented group keys, see docstring).
             pad_to = k if pad else None
-            pair_mode = key[-1] == "pair"
             outs = self._forward_triples(
                 [s for _, s, _ in idxs_samples], list(key[0]), pad_to=pad_to,
                 cre_pad_to=key[3], zygs=(1, 2) if pair_mode else (0, 1, 2),
@@ -370,6 +418,7 @@ class VariantProcessor:
             for (i, sample, ckey), out in zip(idxs_samples, outs):
                 if pair_mode:
                     out = self._merge_ref(out, sample, ckey, len(key[0]))
+                    self._unpin(ckey)
                 predictions[i] = dict(
                     variant_type=sample.variant_type, out=out
                 )
@@ -446,6 +495,16 @@ class VariantProcessor:
                 pad_stats["padded"], total,
                 100.0 * pad_stats["padded"] / total, len(filled) or 1,
             )
+        hits = self.vep_stats.get("ref_hits", 0)
+        misses = self.vep_stats.get("ref_misses", 0)
+        if hits + misses:
+            log.info(
+                "VEP ref-once cache: %d hits / %d misses (%.1f%% ref reuse)"
+                ", %d evictions, %d triple fallbacks",
+                hits, misses, 100.0 * hits / (hits + misses),
+                self.vep_stats.get("ref_evictions", 0),
+                self.vep_stats.get("ref_fallbacks", 0),
+            )
 
         df = self.compile_predictions(
             predictions, output_dir, vcf_path=vcf_path, out_file=out_file
@@ -494,6 +553,9 @@ class VariantProcessor:
                 pair["gene"]["gene_id"], tissues,
             )
             if ref_once and ckey not in self._ref_cache:
+                self.vep_stats["ref_misses"] = (
+                    self.vep_stats.get("ref_misses", 0) + 1
+                )
                 out = self._forward_triples(
                     [sample], list(tissues), cre_pad_to=c_key,
                     return_streams=True,
@@ -505,6 +567,11 @@ class VariantProcessor:
                 )
                 continue
             key = base + (("pair",) if ref_once else ("triple",))
+            if ref_once:
+                self.vep_stats["ref_hits"] = (
+                    self.vep_stats.get("ref_hits", 0) + 1
+                )
+                self._ref_pins[ckey] = self._ref_pins.get(ckey, 0) + 1
             buffers.setdefault(key, []).append((pair_index, sample, ckey))
             if len(buffers[key]) >= k:
                 filled.add(key)
@@ -519,8 +586,29 @@ class VariantProcessor:
         )
         self._ref_cache[ckey] = entry
         self._ref_cache.move_to_end(ckey)
+        # Evict oldest UNPINNED entries; pinned ones have buffered het/hom
+        # pairs whose flush still needs the cached ref, and the entry just
+        # inserted is never the victim (evicting it would re-miss on the
+        # very next variant). The cache may transiently exceed the cap
+        # while everything else is pinned.
         while len(self._ref_cache) > self._ref_cache_max:
-            self._ref_cache.popitem(last=False)
+            keys = list(self._ref_cache)
+            victim = next(
+                (c for c in keys[:-1] if not self._ref_pins.get(c)), None
+            )
+            if victim is None:
+                break
+            del self._ref_cache[victim]
+            self.vep_stats["ref_evictions"] = (
+                self.vep_stats.get("ref_evictions", 0) + 1
+            )
+
+    def _unpin(self, ckey: tuple) -> None:
+        n = self._ref_pins.get(ckey, 0) - 1
+        if n > 0:
+            self._ref_pins[ckey] = n
+        else:
+            self._ref_pins.pop(ckey, None)
 
     def _merge_ref(self, out, sample, ckey: tuple, n_tissues: int):
         """Reassemble a [3, ...] triple output from a het/hom pair dispatch

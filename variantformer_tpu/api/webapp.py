@@ -38,6 +38,13 @@ from variantformer_tpu.api.anatomagram import (
     load_tissue_uberon_map,
 )
 
+
+def _json_embed(obj) -> str:
+    """JSON for an inline <script> block: '</' would let a string value
+    containing '</script>' (or '<!--') terminate the block and inject
+    markup — escape it as '<\\/' (valid JSON, same parsed value)."""
+    return json.dumps(obj).replace("</", "<\\/")
+
 _APP_CSS = _PAGE_CSS + """
 .controls{display:flex;gap:1rem;align-items:center;flex-wrap:wrap;
   margin:.8rem 0;padding:.6rem;background:#f6f4f0;border-radius:8px}
@@ -191,8 +198,8 @@ def _shell(title: str, body: str, data: dict, js: str) -> str:
         f"<h1>{_html.escape(title)}</h1><div id='tooltip'></div>"
         + body
         + "<script>\n"
-        f"const DATA = {json.dumps(data)};\n"
-        f"const TISSUE_MAP = {json.dumps(tissue_map)};\n"
+        f"const DATA = {_json_embed(data)};\n"
+        f"const TISSUE_MAP = {_json_embed(tissue_map)};\n"
         + _APP_JS_LIB
         + js
         + "</script></body></html>"

@@ -1324,10 +1324,14 @@ def fused_gene_modulator_diff(
     produces d(gene_stream), d(cre_intermediates) and d(layers). gene_len/
     cre_len get float0 cotangents; ALiBi slopes get zeros (not learned)."""
     packed = pack_gene_layers(layers, num_heads, head_dim)
+    # donor_block=1: callers pass tissue_block=pick_tissue_block(t, 1)
+    # (TB=6 at T=54), and TB=6 with donor_block>=2 exceeds VMEM at full
+    # geometry (pick_tissue_block docstring) — chunk per donor, matching
+    # the packed-params inference path's default.
     return fused_gene_modulator_packed(
         gene_stream, cre_intermediates, gene_len, cre_len, packed, slopes,
         layers["ffn_in"]["w"].shape[-1], scale, num_heads, head_dim,
-        tissue_block,
+        tissue_block, donor_block=1,
     )
 
 
