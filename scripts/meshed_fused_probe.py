@@ -82,12 +82,39 @@ def main():
     rate1, dt1 = measure(meshed, repl, b, d)
     print(f"meshed fused2 (1-device donor-DP shard_map): {rate1:.4f} genes/s "
           f"({dt1*1e3:.1f} ms)")
+
+    # Tissue partition (single-donor scale-out): same certification — the
+    # 1-device meshed rate must match the single-chip fused rate, so the
+    # 8-device CPU-parity fraction describes scale-out of the FAST rate.
+    batch_t = _example_batch(
+        d=1, c=384, g=cfg.dataset.max_chunks, length=cfg.dataset.max_length,
+        t=54, vocab=cfg.window_encoder.vocab_size,
+    )
+    rate2, dt2 = measure(plain, params, batch_t, 1)
+    print(f"single-chip fused2 d=1 (tissue baseline): {rate2:.4f} genes/s "
+          f"({dt2*1e3:.1f} ms)")
+    padded_t, _ = pmesh.pad_tissue_axis(batch_t, m, multiple=1)
+    bt = pmesh.shard_batch_tissue_all(padded_t, m)
+    tissue_full = pmesh.tissue_dp_forward(cfg, m, bt, impl="fused2")
+
+    def meshed_t(p, bb):
+        return tissue_full(p, bb).pred_expression
+
+    rate3, dt3 = measure(meshed_t, repl, bt, 1)
+    print(f"meshed fused2 (1-device tissue-DP shard_map): {rate3:.4f} genes/s "
+          f"({dt3*1e3:.1f} ms)")
+
     print(json.dumps({
         "metric": "meshed_fused_rate_fraction_of_single_chip",
         "single_chip_genes_per_s": round(rate0, 4),
         "meshed_genes_per_s": round(rate1, 4),
         "fraction": round(rate1 / rate0, 4),
         "d": d,
+        "tissue_partition": {
+            "single_chip_d1_genes_per_s": round(rate2, 4),
+            "meshed_genes_per_s": round(rate3, 4),
+            "fraction": round(rate3 / rate2, 4),
+        },
     }))
 
 

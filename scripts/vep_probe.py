@@ -95,13 +95,22 @@ def main():
             if tag == "warm":
                 print(f"k={k} warm (compile) {dt:.1f}s", flush=True)
         rate = len(var_df) / dt
+        stats = dict(vp.vep_stats)
+        hits, misses = stats.get("ref_hits", 0), stats.get("ref_misses", 0)
         results[f"k={k}"] = {
             "variants_per_s": round(rate, 3),
             "s_per_variant": round(dt / len(var_df), 3),
             "rows": len(df),
+            "ref_reuse_pct": round(100.0 * hits / (hits + misses), 1)
+            if hits + misses else None,
+            "stages_s": {
+                s: round(stats.get(s, 0.0), 2)
+                for s in ("build_s", "pack_s", "dispatch_s", "fetch_s")
+            },
+            "dispatches": stats.get("dispatches", 0),
         }
         print(f"k={k}: {len(var_df)} variants in {dt:.1f}s = "
-              f"{rate:.3f} variants/s", flush=True)
+              f"{rate:.3f} variants/s  stats={results[f'k={k}']}", flush=True)
 
     print(json.dumps({
         "metric": "vep_variants_per_s_full_size_54tissues",

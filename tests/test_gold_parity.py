@@ -76,13 +76,24 @@ def test_vcf2exp_smoke(processor):
     np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5)
 
 
-def test_eqtl_gold_log2fc(processor):
+@pytest.mark.parametrize("mode", ["legacy", "fastpath"])
+def test_eqtl_gold_log2fc(processor, mode, monkeypatch):
     """Full eQTL pipeline vs gold parquet a0063c48.pq (reference
-    tests/test_vep.py:191-332): per-population log2fc atol=1e-3."""
+    tests/test_vep.py:191-332): per-population log2fc atol=1e-3.
+
+    Both dispatch paths must hit gold: "legacy" scores every variant as a
+    full ref/het/hom triple; "fastpath" is the production configuration —
+    ref-once cache (het/hom pair dispatches + host-side ref gathers),
+    window-dedup pools, cross-variant pair batching (k=2), and bf16
+    embedding transfer."""
     gold_path = BASE / "a0063c48.pq"
     if not gold_path.exists():
         pytest.skip("gold parquet a0063c48.pq absent")
     from variantformer_tpu.api.variantprocessor import VariantProcessor
+
+    fast = mode == "fastpath"
+    monkeypatch.setenv("VFX_VEP_REF_ONCE", "1" if fast else "0")
+    monkeypatch.setenv("VFX_VEP_DEDUP", "1" if fast else "0")
 
     gold = pd.read_parquet(gold_path)
     vp = VariantProcessor(sources=processor.sources, config=processor.config)
@@ -97,7 +108,9 @@ def test_eqtl_gold_log2fc(processor):
     )
     import tempfile
 
-    long_df = vp.predict(var_df, tempfile.mkdtemp())
+    long_df = vp.predict(
+        var_df, tempfile.mkdtemp(), variants_per_dispatch=2 if fast else 1
+    )
     scores = vp.eqtl_scores(vp.format_scores(long_df))
     merged = scores.merge(
         gold, on=["variant_id", "genes", "tissues"], suffixes=("", "_gold")

@@ -188,8 +188,11 @@ class VariantProcessor:
         ``pad_to`` pads a partial trailing group to the canonical k by
         repeating the last item (pad outputs dropped): a smaller D would
         be a fresh device shape, i.e. a fresh multi-minute compile."""
+        import time as _time
+
         import jax.numpy as jnp
 
+        t_pack0 = _time.perf_counter()
         n_real = len(vep_samples)
         z = len(zygs)
         if pad_to is not None and n_real < pad_to:
@@ -226,9 +229,11 @@ class VariantProcessor:
         # would each pay a transfer round trip. Stream leaves stay bf16 on
         # host too — they only feed the ref cache (gathers upcast at use),
         # and keeping them bf16 halves the cache's memory per entry.
+        t_disp0 = _time.perf_counter()
         out = self._vp._forward(
             batch, return_streams=return_streams, narrow_embeddings=True
         )
+        t_fetch0 = _time.perf_counter()
         host = type(out)(
             *(
                 None if leaf is None
@@ -238,6 +243,15 @@ class VariantProcessor:
                 for name, leaf in zip(out._fields, out)
             )
         )
+        t_end = _time.perf_counter()
+        # Stage accounting (relay truth: only the host transfer proves the
+        # device finished, so fetch_s = device tail + transfer). Floats in
+        # vep_stats are seconds; dispatch counts enable per-call averages.
+        for k_, v_ in (
+            ("pack_s", t_disp0 - t_pack0), ("dispatch_s", t_fetch0 - t_disp0),
+            ("fetch_s", t_end - t_fetch0), ("dispatches", 1),
+        ):
+            self.vep_stats[k_] = self.vep_stats.get(k_, 0) + v_
         return [
             type(host)(
                 *(
@@ -437,6 +451,11 @@ class VariantProcessor:
                     assets.gene_sequences_manifest(),
                 )
 
+        import threading
+        import time as _time
+
+        stats_lock = threading.Lock()
+
         def build_pair(indexed):
             """Host sample build for one (variant, gene) pair — the VEP
             bottleneck at production scale (~1 s/variant of consensus + BPE
@@ -444,6 +463,7 @@ class VariantProcessor:
             (the C++ consensus/tokenizer release the GIL; one batched
             tokenizer call per build, utils/bpe.py) overlapped with the
             main thread's grouped dispatches."""
+            t0 = _time.perf_counter()
             pair_index, pair = indexed
             pvcf = pair["vcf_path"]
             # Precomputed per-population sequences (the reference's
@@ -466,6 +486,12 @@ class VariantProcessor:
                     )
                 else:
                     raise
+            with stats_lock:
+                # summed worker-thread wall time (can exceed elapsed time)
+                self.vep_stats["build_s"] = (
+                    self.vep_stats.get("build_s", 0.0)
+                    + (_time.perf_counter() - t0)
+                )
             return pair_index, pair, sample
 
         from concurrent.futures import ThreadPoolExecutor
