@@ -100,6 +100,11 @@ def main():
     ap.add_argument("--genes", type=int, default=12)
     ap.add_argument("--tissues", type=int, default=54)
     ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument(
+        "--out-dir", default=None,
+        help="stream prediction parquet shards here and keep them (the "
+             "genome-wide demonstration artifact; default: in-memory frame)",
+    )
     args = ap.parse_args()
 
     import logging
@@ -148,9 +153,16 @@ def main():
     stats = {}
     t0 = time.time()
     df = genome_wide_expression(
-        proc, vcf, tissues, batch_size=args.batch_size, stats=stats
+        proc, vcf, tissues, batch_size=args.batch_size, stats=stats,
+        out_dir=args.out_dir,
     )
     dt = time.time() - t0
+    if df is None:  # streamed shards (--out-dir)
+        import glob
+
+        shards = sorted(glob.glob(os.path.join(args.out_dir, "*.parquet")))
+        df = pd.concat([pd.read_parquet(s, columns=["gene_id"]) for s in shards])
+        print(f"artifact: {len(shards)} parquet shards in {args.out_dir}")
     n = df["gene_id"].nunique()
     print(
         f"sustained: {n} genes x {args.tissues} tissues in {dt:.1f}s "

@@ -52,6 +52,7 @@ def test_jax_evaluator_matches_numpy(fitted_gbm):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.mid
 def test_ad_risk_processor_level(fitted_gbm, tmp_path_factory):
     import jax
     import pandas as pd

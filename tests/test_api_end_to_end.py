@@ -339,6 +339,7 @@ def test_vep_six_population_end_to_end(fixture_env, tmp_path, monkeypatch):
                                rtol=1e-4)
 
 
+@pytest.mark.mid
 def test_vep_batched_dispatch_matches_single(fixture_env, tmp_path):
     """variants_per_dispatch=2 (D=6 per device call) must reproduce the
     per-variant (D=3) predictions — variant batching only amortizes
@@ -392,6 +393,7 @@ def test_vep_batched_dispatch_matches_single(fixture_env, tmp_path):
     )
 
 
+@pytest.mark.mid
 def test_vep_canonical_cres_matches_bucketed(fixture_env, tmp_path):
     """canonical_cres (one CRE-axis device shape for the whole sweep) must
     reproduce the bucketed predictions exactly — suffix window padding is
@@ -495,6 +497,7 @@ def test_create_vcf_streaming_merge(processor, fixture_env, tmp_path):
         )
 
 
+@pytest.mark.mid
 def test_vep_ref_once_matches_legacy(fixture_env, tmp_path, monkeypatch):
     """The ref-once cache (first variant per gene dispatches a full triple +
     streams; later variants run as het/hom pairs with the ref row
@@ -548,6 +551,7 @@ def test_vep_ref_once_matches_legacy(fixture_env, tmp_path, monkeypatch):
         )
 
 
+@pytest.mark.mid
 def test_vep_ref_cache_eviction_safety(fixture_env, tmp_path, monkeypatch):
     """Pair batching (k=2) + a 1-entry ref cache: buffered het/hom pairs PIN
     their ref entry, so an interleaving (gene, population) group can never
@@ -616,6 +620,7 @@ def test_vep_ref_cache_eviction_safety(fixture_env, tmp_path, monkeypatch):
     assert not vp._ref_pins, "all pins released at end of sweep"
 
 
+@pytest.mark.mid
 def test_vep_window_dedup_matches_plain(fixture_env, tmp_path, monkeypatch):
     """Window-dedup pools (encode each unique window once, gather per donor)
     must reproduce the plain per-donor layout on every output column."""
@@ -705,3 +710,78 @@ def test_dedup_pool_construction():
     )
     # gene windows are fully shared -> g unique rows
     assert len(np.unique(np.asarray(out.gene_gather))) == g
+
+
+@pytest.mark.mid
+def test_live_app_model_in_the_loop(processor, fixture_env, tmp_path):
+    """The live app (api/live.py — the marimo-reactivity equivalent) must
+    re-run the MODEL on interaction: a gene/tissue request returns fresh
+    predictions over HTTP, an in-silico edit inside a CRE changes them,
+    and repeated identical requests hit the app's cache."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from variantformer_tpu.api.live import LiveExpressionApp
+
+    app = LiveExpressionApp(
+        processor, vcf_path=None, workdir=str(tmp_path / "live")
+    )
+    srv = app.make_server(port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = srv.server_address
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://{host}:{port}/api/predict",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return _json.loads(resp.read())
+
+        page = urllib.request.urlopen(
+            f"http://{host}:{port}/", timeout=30
+        ).read().decode()
+        for needle in ("id='gene'", "id='edits'", "/api/predict",
+                       "data-uberon="):
+            assert needle in page, needle
+
+        base = post({"gene": "GENEPLUS.1", "tissues": ["tissue0", "tissue2"]})
+        assert set(base["values"]) == {"tissue0", "tissue2"}
+        assert base["cached"] is False and base["seconds"] >= 0
+
+        again = post({"gene": "GENEPLUS.1", "tissues": ["tissue0", "tissue2"]})
+        assert again["cached"] is True
+        assert again["values"] == base["values"]
+
+        seq = fixture_env["seq"]
+        pos = 321  # inside GENEPLUS's second CRE
+        ref = seq[pos - 1]
+        alt = {"A": "G", "C": "T", "G": "A", "T": "C"}[ref]
+        edited = post({
+            "gene": "GENEPLUS.1", "tissues": ["tissue0", "tissue2"],
+            "edits": [{"chrom": "chr1", "pos": pos, "ref": ref, "alt": alt,
+                       "zygosity": "het"}],
+        })
+        assert edited["values"] != base["values"], (
+            "an in-silico edit inside a CRE must change the prediction"
+        )
+
+        # bad input surfaces as a JSON error, not a server crash
+        err = urllib.request.Request(
+            f"http://{host}:{port}/api/predict",
+            data=_json.dumps({"gene": "NOPE.1"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(err, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "unknown gene" in _json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -255,6 +255,7 @@ def test_anatomagram_risk_adapter(tmp_path):
     assert "AD_RISK" in content and "UBERON_0000956" in content
 
 
+@pytest.mark.mid
 def test_launch_genome_wide_script(tmp_path):
     """The multi-host launcher runs end to end in synthetic mode."""
     import json
@@ -342,6 +343,7 @@ def test_multi_try_loaders(tmp_path):
     assert multi_try_load_npz(tmp_path / "t.npz")["x"].tolist() == [0, 1, 2]
 
 
+@pytest.mark.mid
 def test_analytic_flops_vs_cpu_cost_analysis():
     """utils/flops.py (the MFU numerator) must bracket the XLA CPU compiler's
     full cost analysis. CPU cost analysis counts each lax.scan body ONCE

@@ -118,6 +118,7 @@ def _grad_setup(seed=0, n=10, l=24):
     return cfg, params, tokens, tok_len, cot, slopes
 
 
+@pytest.mark.mid
 def test_vjp_grads_match_xla_path():
     """d(layers) and d(x_emb) from the fused VJP must match the layered XLA
     path's gradients to bf16 tolerance (the kernels are bf16-internal)."""
@@ -197,6 +198,7 @@ def test_vjp_grads_match_xla_path():
     assert rel < 5e-2, rel
 
 
+@pytest.mark.mid
 def test_vjp_pad_rows_zero_grad():
     """Token rows beyond tok_len must receive exactly zero d(x_emb): masked
     keys give p=0 and pooling ignores them; everything else is row-local."""

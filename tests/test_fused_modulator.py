@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from variantformer_tpu.models.core import AttnSpec
 from variantformer_tpu.models.init import _context_layer_stack
@@ -77,6 +78,7 @@ def test_fused_modulator_no_alibi():
     )
 
 
+@pytest.mark.mid
 def test_seq2gene_forward_fused2_matches_xla():
     """End-to-end dispatch: impl='fused2' (fused encoder + fused modulator)
     must match the XLA path on the full forward."""
@@ -115,6 +117,7 @@ def test_fused_modulator_length_edges():
         )
 
 
+@pytest.mark.mid
 def test_fused_modulator_donor_batched_matches_per_donor():
     """The donor-folded grid must reproduce per-donor single calls exactly
     (same kernel math, donors only share streamed weights)."""

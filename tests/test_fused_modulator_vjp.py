@@ -11,6 +11,9 @@ tests/test_fused_encoder.py).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.mid
 
 from variantformer_tpu.models.core import AttnSpec
 from variantformer_tpu.models.init import _context_layer_stack

@@ -67,6 +67,7 @@ def test_forward_shapes_and_finiteness():
     assert np.all(out.pred_expression >= 0)  # softplus head
 
 
+@pytest.mark.mid
 def test_suffix_padding_invariance():
     """Growing the padded C/G/T slot counts must not change valid outputs."""
     cfg = tiny_config()
@@ -97,6 +98,7 @@ def test_suffix_padding_invariance():
     )
 
 
+@pytest.mark.mid
 def test_cre_token_axis_bucket_invariance():
     """A narrower CRE token axis (pack_samples' per-batch bucket) must give
     the same outputs as the full-max_length one: suffix padding is exact."""

@@ -257,6 +257,7 @@ def test_two_process_distributed_training(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.mid
 def test_use_mesh_sweep_matches_single_device(tmp_path):
     """VCFProcessor.use_mesh scales the whole API across the mesh: a
     genome-wide sweep under DP+TP must reproduce single-device predictions,
@@ -436,6 +437,7 @@ def test_donor_dp_fused_train_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.mid
 def test_use_mesh_keeps_fused_kernels_donor_partition(tmp_path):
     """use_mesh(partition="donor") on a fused2 processor must KEEP the fused
     kernels (round-2 downgraded every meshed forward to XLA): impl stays
@@ -495,6 +497,7 @@ def test_use_mesh_keeps_fused_kernels_donor_partition(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.mid
 def test_tissue_sharded_forward_matches_single_device():
     """partition="tissue" (single-donor scale-out): the tissue fan-out and
     the window axes shard over "data" instead of donors; output must still
@@ -658,6 +661,7 @@ def test_tissue_dp_fused_forward_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+@pytest.mark.mid
 def test_use_mesh_keeps_fused_kernels_tissue_partition(tmp_path):
     """VCFProcessor.use_mesh(partition='tissue') with a fused impl must KEEP
     the fused kernels (round-3 downgraded every tissue-meshed forward to

@@ -107,6 +107,7 @@ def test_stub_right_alignment_gap_is_real():
     assert not torch.equal(flash_bias(4, 9), stub_bias(4, 9))
 
 
+@pytest.mark.mid
 def test_fp16_attention_gap_bounded():
     """ORACLE_AUDIT §5's last unverified limb, checked without a GPU: run the
     oracle with fp16-quantized attention (simulating layers.py:103,363 —

@@ -316,6 +316,7 @@ def test_window_classifier_parity():
     )
 
 
+@pytest.mark.mid
 def test_model_manager_round_trip(tmp_path):
     """Synthetic torch .pth checkpoints through the production loader:
     ModelManager calibrates configs from hyper-parameters, converts, and the

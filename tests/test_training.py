@@ -74,6 +74,7 @@ def test_masks():
     assert tm2["gene_tokenizer"]["token_embedding"] is True
 
 
+@pytest.mark.mid
 def test_train_step_reduces_loss_and_freezes_tokenizer():
     from tests.test_model_smoke import tiny_batch, tiny_config
     from variantformer_tpu.models.init import init_seq2gene
@@ -167,6 +168,7 @@ def _write_seq2reg_shards(root, n_train=4, n_val=2, chunk=8, length=16, seed=0):
             )
 
 
+@pytest.mark.mid
 def test_fit_seq2reg_end_to_end(tmp_path):
     """The fit loop trains a tiny window classifier from npz shards: loss
     drops, checkpoints land, and resume continues exactly where it left off
@@ -222,6 +224,7 @@ def test_fit_seq2reg_end_to_end(tmp_path):
     assert int(res2.state.step) == 5 * 4  # 4 train shards per epoch
 
 
+@pytest.mark.mid
 def test_fit_seq2gene_from_shards(tmp_path):
     """seq2gene expression training from TrainingShardWriter-format npz
     shards: sparse per-shard (tissue, expression) labels become dense
@@ -671,6 +674,7 @@ def test_gradient_accumulation():
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.mid
 def test_freeze_tokenizers_step_matches_and_runs_fused():
     """freeze_tokenizers=True must (a) reproduce the default step's
     trajectory exactly when paired with train_gene_tokenizer=False — the
@@ -768,6 +772,7 @@ def test_fused_encoder_backward_trains_tokenizers():
     np.testing.assert_allclose(fused_losses, xla_losses, rtol=5e-2)
 
 
+@pytest.mark.mid
 def test_freeze_tokenizers_respects_trainable_gene_tokenizer():
     """freeze_tokenizers=True with train_gene_tokenizer=True must keep the
     gene tokenizer TRAINING (only the CRE tokenizer's backward is skipped)
