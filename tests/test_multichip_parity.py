@@ -700,3 +700,83 @@ def test_use_mesh_keeps_fused_kernels_tissue_partition(tmp_path):
         np.stack(base["predicted_expression"].to_numpy()),
         rtol=5e-4, atol=5e-4,
     )
+
+
+@pytest.mark.mid
+def test_zero1_sharded_optimizer_matches_replicated():
+    """ZeRO-1 optimizer-state sharding (opt_state_specs/shard_opt_state +
+    donor_dp_train_step(shard_optimizer=True)): the elementwise Adam update
+    partitioned to the state's shards plus one param all-gather must
+    reproduce the replicated-state trajectory exactly, while m/v actually
+    live sharded (the full-geometry motivation: f32 Adam m+v is 9 GB —
+    scripts/full_train_probe.py — and replicating it caps single-chip
+    training; sharded it is 9/N GB)."""
+    import jax.numpy as jnp
+
+    from variantformer_tpu.train.optimizer import make_optimizer
+    from variantformer_tpu.train.steps import TrainState
+
+    cfg = _near_real_cfg()
+    params = init_seq2gene(jax.random.key(0), cfg)
+    batch = _example_batch(d=8, c=12, g=6, length=12, t=5, vocab=64)
+    rng = np.random.default_rng(7)
+    targets = jnp.asarray(rng.uniform(0, 3, (8, 5)), jnp.float32)
+    mask = jnp.ones((8, 5), bool)
+    m = pmesh.make_mesh(devices=jax.devices()[:8])
+    b = pmesh.shard_batch_donor_all(batch, m)
+    t = pmesh.shard_targets_donor_all(targets, m)
+    mk = pmesh.shard_targets_donor_all(mask, m)
+
+    def run(shard_optimizer):
+        tx = make_optimizer(
+            params, learning_rate=1e-3, weight_decay=0.01, optimizer="adamw",
+            plateau="epoch", train_gene_tokenizer=True,
+        )
+        dstep = pmesh.donor_dp_train_step(
+            cfg, m, tx, batch, impl="xla", shard_optimizer=shard_optimizer
+        )
+        opt0 = tx.init(params)
+        opt0 = (
+            pmesh.shard_opt_state(opt0, m)
+            if shard_optimizer
+            else jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec()),
+                ),
+                opt0,
+            )
+        )
+        state = TrainState(
+            pmesh.replicate_params(params, m), opt0, jnp.zeros((), jnp.int32)
+        )
+        losses = []
+        for _ in range(2):
+            state, loss = dstep(state, b, t, mk, 1.0)
+            losses.append(float(loss))
+        return state, losses
+
+    repl_state, repl_losses = run(False)
+    z1_state, z1_losses = run(True)
+    np.testing.assert_allclose(z1_losses, repl_losses, rtol=1e-6)
+    for pr, pz in zip(
+        jax.tree.leaves(repl_state.params), jax.tree.leaves(z1_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pz), np.asarray(pr), rtol=2e-5, atol=1e-6
+        )
+    # the big state leaves must actually BE sharded (not replicated)
+    sharded_leaves = [
+        x
+        for x, s in zip(
+            jax.tree.leaves(z1_state.opt_state),
+            jax.tree.leaves(
+                pmesh.opt_state_specs(z1_state.opt_state, m),
+                is_leaf=lambda s: isinstance(s, jax.sharding.PartitionSpec),
+            ),
+        )
+        if s != jax.sharding.PartitionSpec()
+    ]
+    assert sharded_leaves, "no leaf received a ZeRO-1 shard"
+    for x in sharded_leaves[:4]:
+        assert not x.sharding.is_fully_replicated, x.sharding

@@ -427,10 +427,51 @@ def tissue_dp_forward(cfg, mesh: Mesh, batch: Seq2GeneBatch, impl: str = "fused2
     return jax.jit(sm)
 
 
+def opt_state_specs(opt_state, mesh: Mesh):
+    """ZeRO-1 PartitionSpec tree for an optimizer state: each array leaf's
+    largest axis divisible by the device count shards over ALL mesh axes;
+    scalars and indivisible leaves replicate.
+
+    Why: at full geometry the model is 1.207 B params — f32 Adam m+v alone
+    is 9 GB and cannot share a 16 GB v5e with params+grads+activations
+    (scripts/full_train_probe.py). Donor-DP replicates params but nothing
+    requires the OPTIMIZER state to replicate: sharding m/v over N devices
+    cuts the state to 9/N GB, the elementwise update runs where the state
+    lives, and one all-gather per step rebuilds the replicated params
+    (GSPMD inserts it from the sharding constraint)."""
+    n = len(mesh.devices.reshape(-1))
+    axes = tuple(mesh.axis_names)
+
+    def spec(leaf) -> P:
+        ndim = getattr(leaf, "ndim", 0)
+        if not ndim:
+            return P()
+        best, best_size = None, 0
+        for i, s in enumerate(leaf.shape):
+            if s % n == 0 and s > best_size:
+                best, best_size = i, s
+        if best is None:
+            return P()
+        parts: list = [None] * ndim
+        parts[best] = axes
+        return P(*parts)
+
+    return jax.tree.map(spec, opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Place an optimizer state ZeRO-1 sharded (see ``opt_state_specs``)."""
+    specs = opt_state_specs(opt_state, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state, specs,
+    )
+
+
 def donor_dp_train_step(
     cfg, mesh: Mesh, tx, batch: Seq2GeneBatch, impl: str = "fused",
     freeze_tokenizers: bool = False, train_gene_tokenizer: bool = True,
-    plateau: str = "epoch",
+    plateau: str = "epoch", shard_optimizer: bool = False,
 ):
     """Donor-DP TRAINING with the fused Pallas kernels intact per device.
 
@@ -450,6 +491,12 @@ def donor_dp_train_step(
     step for any same-structure batch whose donor dim divides the device
     count); ``impl`` may be "xla", "fused" (encoder VJP) or "fused2"
     (encoder + gene-modulator VJPs).
+
+    ``shard_optimizer=True`` keeps the optimizer state ZeRO-1 sharded
+    (``shard_opt_state`` the initial state first): the elementwise update
+    runs on each leaf's shard and the params re-replicate via one
+    all-gather. Numerics are identical — the update is elementwise, so
+    sharding only partitions it.
     """
     import optax
 
@@ -460,6 +507,7 @@ def donor_dp_train_step(
         cfg, mesh, batch, impl=impl, freeze_tokenizers=freeze_tokenizers,
         train_gene_tokenizer=train_gene_tokenizer,
     )
+    repl = NamedSharding(mesh, P())
 
     @jax.jit
     def step(state: "TrainState", b, targets, mask, plateau_value=None):
@@ -467,11 +515,24 @@ def donor_dp_train_step(
         if plateau_value is None:
             plateau_value = loss if plateau == "step" else 1.0
         # grads/loss leave the shard_map replicated, so the optimizer update
-        # is an ordinary jitted op (identical on every device).
+        # is an ordinary jitted op (identical on every device) — unless the
+        # state is ZeRO-1 sharded, in which case GSPMD partitions the
+        # update to the state's layout and all-gathers the params.
         updates, opt_state = tx.update(
             grads, state.opt_state, state.params, value=plateau_value
         )
         params = optax.apply_updates(state.params, updates)
+        if shard_optimizer:
+            sspecs = opt_state_specs(opt_state, mesh)
+            opt_state = jax.tree.map(
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, s)
+                ),
+                opt_state, sspecs,
+            )
+            params = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, repl), params
+            )
         return TrainState(params, opt_state, state.step + 1), loss
 
     return step
