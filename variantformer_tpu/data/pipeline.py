@@ -201,9 +201,16 @@ def pack_samples(
     device shape (CREs padded to max_length) keeps all workloads on the
     single warmed executable. Suffix padding is exact (ALiBi + masks), so
     either choice produces identical numbers — verified by the
-    padding-invariance test."""
-    import jax.numpy as jnp
+    padding-invariance test.
 
+    Leaves are NUMPY arrays, not device arrays: jit transfers what the
+    compiled executable actually keeps (kept_var_idx) at dispatch time, so
+    e.g. the plain [D, C, L] token arrays are never shipped when the
+    window-dedup pools shadow them (VariantProcessor._dedup_windows), and
+    host-side consumers (the pool builder's np.unique) read them without a
+    device round-trip. On relay-fronted rigs each avoided transfer is
+    milliseconds. Abstract values are unchanged, so compiled executables
+    and the persistent cache are shared with device-array callers."""
     from variantformer_tpu.models.seq2gene import Seq2GeneBatch
 
     d = len(samples)
@@ -246,12 +253,12 @@ def pack_samples(
         gene_count[i] = g
 
     return Seq2GeneBatch(
-        cre_tokens=jnp.asarray(cre_tokens),
-        cre_tok_len=jnp.asarray(cre_tok_len),
-        cre_count=jnp.asarray(cre_count),
-        cre_labels=jnp.asarray(cre_labels),
-        gene_tokens=jnp.asarray(gene_tokens),
-        gene_tok_len=jnp.asarray(gene_tok_len),
-        gene_count=jnp.asarray(gene_count),
-        tissue_ids=jnp.asarray(np.asarray(tissue_ids, np.int32)),
+        cre_tokens=cre_tokens,
+        cre_tok_len=cre_tok_len,
+        cre_count=cre_count,
+        cre_labels=cre_labels,
+        gene_tokens=gene_tokens,
+        gene_tok_len=gene_tok_len,
+        gene_count=gene_count,
+        tissue_ids=np.asarray(tissue_ids, np.int32),
     )
